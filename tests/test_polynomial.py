@@ -1,0 +1,79 @@
+"""Negacyclic polynomial arithmetic tests (ops/polynomial.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tfhe_aes2_tpu.ops import polynomial
+
+
+def _nega_ref(a_int, b_u64, n):
+    """Schoolbook negacyclic product via python ints, mod 2^64."""
+    out = [0] * n
+    for i in range(n):
+        for j in range(n):
+            m = i + j
+            v = int(a_int[i]) * int(b_u64[j])
+            if m >= n:
+                out[m - n] -= v
+            else:
+                out[m] += v
+    return np.array([o % (1 << 64) for o in out], dtype=np.uint64)
+
+
+def test_monomial_mul():
+    rng = np.random.default_rng(5)
+    n = 16
+    p = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+    for t in [0, 1, 5, n - 1, n, n + 3, 2 * n - 1]:
+        got = np.asarray(polynomial.monomial_mul(jnp.asarray(p), jnp.int32(t)))
+        # reference: multiply by the monomial = negacyclic conv with e_t
+        e = np.zeros(n, dtype=np.int64)
+        if t < n:
+            e[t] = 1
+            expect = _nega_ref(e, p, n)
+        else:
+            e[t - n] = 1
+            expect = np.uint64(0) - _nega_ref(e, p, n)
+        np.testing.assert_array_equal(got, expect, err_msg=f"t={t}")
+
+
+def test_monomial_mul_batched_t():
+    rng = np.random.default_rng(6)
+    n = 8
+    p = rng.integers(0, 1 << 64, (3, n), dtype=np.uint64)
+    t = np.array([1, n, 2 * n - 1], dtype=np.int32)
+    got = np.asarray(polynomial.monomial_mul(jnp.asarray(p), jnp.asarray(t)))
+    for b in range(3):
+        single = np.asarray(polynomial.monomial_mul(jnp.asarray(p[b]), jnp.int32(t[b])))
+        np.testing.assert_array_equal(got[b], single)
+
+
+def test_polymul_digits_shared():
+    rng = np.random.default_rng(7)
+    n, r, o, batch = 16, 3, 2, 4
+    bound = 1 << 11
+    digits = rng.integers(-bound, bound + 1, (batch, r, n), dtype=np.int32)
+    polys = rng.integers(0, 1 << 64, (r, o, n), dtype=np.uint64)
+    got = np.asarray(polynomial.polymul_digits_shared(
+        jnp.asarray(digits), jnp.asarray(polys), bound))
+    for b in range(batch):
+        for oo in range(o):
+            with np.errstate(over="ignore"):
+                expect = np.zeros(n, dtype=np.uint64)
+                for rr in range(r):
+                    expect += _nega_ref(digits[b, rr], polys[rr, oo], n)
+            np.testing.assert_array_equal(got[b, oo], expect)
+
+
+def test_polymul_digits_batched():
+    rng = np.random.default_rng(8)
+    n, r, o, batch = 8, 2, 2, 3
+    bound = 1 << 9
+    digits = rng.integers(-bound, bound + 1, (batch, r, n), dtype=np.int32)
+    polys = rng.integers(0, 1 << 64, (batch, r, o, n), dtype=np.uint64)
+    got = np.asarray(polynomial.polymul_digits_batched(
+        jnp.asarray(digits), jnp.asarray(polys), bound))
+    for b in range(batch):
+        single = np.asarray(polynomial.polymul_digits_shared(
+            jnp.asarray(digits[b]), jnp.asarray(polys[b]), bound))
+        np.testing.assert_array_equal(got[b], single)

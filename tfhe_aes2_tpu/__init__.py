@@ -1,0 +1,30 @@
+"""tfhe_aes2_tpu — a TPU-native TFHE framework evaluating AES-128 homomorphically.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the reference
+Rust crate `tfhe-aes` (allanbrondum/tfhe-aes-2): WoP-PBS based TFHE (bit
+extraction, circuit bootstrapping, vertical-packing CMux-tree lookup) driving
+a fully homomorphic AES-128-CTR keystream, bit-exact against FIPS-197.
+
+Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
+  ops/     — L0 crypto primitive layer (the tfhe-rs surface, rebuilt as
+             struct-of-array tensor kernels: LWE/GLWE/GGSW, negacyclic
+             polynomial arithmetic on the MXU, blind rotation, keyswitching,
+             circuit bootstrapping, vertical packing).
+  models/  — L1 FHE models (shortint_woppbs_1bit et al.): key material,
+             bit encoding, parameter sets, noise accounting.
+  aes_128/ — L2-L4 AES-128 layer: bit-sliced data model, the two round
+             pipelines (sbox_pbs / sbox_gal_mul_pbs), clear oracles,
+             client-side FHE encryption.
+  parallel/— mesh/shard_map scale-out of the block batch and PBS batch.
+
+64-bit torus elements are represented as jnp.uint64 (requires jax x64 mode,
+enabled at import). All O(N^2) compute is lowered to int8 limb-plane matmuls
+with int32 accumulation so the hot path runs on the TPU MXU exactly.
+"""
+
+import jax
+
+# 64-bit torus arithmetic requires x64 mode. Must happen before any tracing.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

@@ -1,0 +1,141 @@
+"""Blind rotation + programmable bootstrap (the hot loop).
+
+TPU-native equivalent of tfhe-rs `blind_rotate_assign_mem_optimized` +
+`extract_lwe_sample_from_glwe_ciphertext` (reference call sites
+shortint_1bit.rs:319-350 and inside every WoP-PBS circuit bootstrap). Instead
+of the reference's per-core f64 FFT loop, the CMux chain is a
+`lax.scan` whose external product is an exact int8-limb matmul against the
+negacirculant of the shared BSK entry — all concurrent bootstraps in the
+batch advance through step i together, so the MXU sees one
+[batch, (k+1)·L·N] x [(k+1)·L·N, (k+1)·N] product per step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tfhe_aes2_tpu.ops import decomposition, polynomial
+from tfhe_aes2_tpu.ops.params import WopbsParams
+from tfhe_aes2_tpu.ops.torus import U64
+
+
+def mod_switch(x, log2n: int):
+    """u64 torus -> Z_{2N}: round(x · 2N / 2^64), int32 in [0, 2N)."""
+    x = jnp.asarray(x, U64)
+    shift = 64 - (log2n + 1)
+    return ((x + (jnp.uint64(1) << jnp.uint64(shift - 1))) >> jnp.uint64(shift)).astype(jnp.int32)
+
+
+def decompose_glwe(glwe, base_log: int, levels: int):
+    """GLWE [..., k+1, N] -> digits [..., (k+1)·levels, N] int32, ordered so
+    that row index r = u·levels + l matches BSK row (l, u) transposed below."""
+    d = decomposition.decompose(glwe, base_log, levels)   # [..., k+1, N, L]
+    d = jnp.moveaxis(d, -1, -2)                           # [..., k+1, L, N]
+    shape = d.shape
+    return d.reshape(shape[:-3] + (shape[-3] * shape[-2], shape[-1]))
+
+
+def _bsk_rows(bsk_i):
+    """BSK entry [L, k+1(row u), k+1(comp), N] -> [(k+1)·L (r = u·L + l), k+1, N]
+    matching decompose_glwe's row order."""
+    l, k1, _, n = bsk_i.shape
+    return jnp.transpose(bsk_i, (1, 0, 2, 3)).reshape(l * k1, k1, n)
+
+
+def external_product_shared(ggsw_rows, glwe, base_log: int, levels: int):
+    """GGSW (shared across batch) ⊡ GLWE (batched).
+
+    ggsw_rows: [(k+1)·levels, k+1, N] u64 (row-major (u, l))
+    glwe:      [..., k+1, N] u64
+    """
+    digits = decompose_glwe(glwe, base_log, levels)
+    return polynomial.polymul_digits_shared(
+        digits, ggsw_rows, decomposition.digit_bound(base_log))
+
+
+def external_product_batched(ggsw_rows, glwe, base_log: int, levels: int):
+    """GGSW rows batched alongside the GLWE: ggsw_rows [..., R, k+1, N]."""
+    digits = decompose_glwe(glwe, base_log, levels)
+    return polynomial.polymul_digits_batched(
+        digits, ggsw_rows, decomposition.digit_bound(base_log))
+
+
+def cmux_shared(ggsw_rows, ct0, ct1, base_log: int, levels: int):
+    """ct0 + GGSW ⊡ (ct1 - ct0) — select ct1 when the encrypted bit is 1."""
+    diff = jnp.asarray(ct1, U64) - jnp.asarray(ct0, U64)
+    return jnp.asarray(ct0, U64) + external_product_shared(ggsw_rows, diff, base_log, levels)
+
+
+def cmux_batched(ggsw_rows, ct0, ct1, base_log: int, levels: int):
+    diff = jnp.asarray(ct1, U64) - jnp.asarray(ct0, U64)
+    return jnp.asarray(ct0, U64) + external_product_batched(ggsw_rows, diff, base_log, levels)
+
+
+def blind_rotate(lwe, bsk, test_poly, params: WopbsParams):
+    """Rotate `test_poly` by the (mod-switched) phase of `lwe` under encryption.
+
+    lwe:       [..., n+1] u64 (under the small key)
+    bsk:       [n, L, k+1, k+1, N] u64
+    test_poly: [..., N] u64 (body of the trivial accumulator; broadcastable)
+    returns:   GLWE [..., k+1, N]
+    """
+    p = params
+    n, logn = p.polynomial_size, p.log2_poly_size
+    lwe = jnp.asarray(lwe, U64)
+    batch_shape = lwe.shape[:-1]
+
+    a_tilde = mod_switch(lwe[..., :-1], logn)             # [..., n_lwe]
+    b_tilde = mod_switch(lwe[..., -1], logn)              # [...]
+
+    test_poly = jnp.broadcast_to(jnp.asarray(test_poly, U64), batch_shape + (n,))
+    body = polynomial.monomial_mul(test_poly, (2 * n - b_tilde) % (2 * n))
+    acc = jnp.concatenate(
+        [jnp.zeros(batch_shape + (p.glwe_dimension, n), dtype=U64), body[..., None, :]],
+        axis=-2)                                          # [..., k+1, N]
+
+    bsk_rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64)) # [n_lwe, R, k+1, N]
+    a_steps = jnp.moveaxis(a_tilde, -1, 0)                # [n_lwe, ...]
+
+    def step(acc, xs):
+        rows_i, a_i = xs
+        rotated = polynomial.monomial_mul(acc, a_i[..., None])  # X^{a_i}·acc
+        acc = cmux_shared(rows_i, acc, rotated, p.pbs_base_log, p.pbs_level)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (bsk_rows, a_steps))
+    return acc
+
+
+def sample_extract0(glwe):
+    """Extract coefficient 0 as an LWE ct under the flattened GLWE key.
+
+    glwe [..., k+1, N] -> lwe [..., k·N + 1]:
+      a[u·N]     =  A_u[0]
+      a[u·N + i] = -A_u[N - i]   (i >= 1)
+      b          =  B[0]
+    """
+    glwe = jnp.asarray(glwe, U64)
+    a, b = glwe[..., :-1, :], glwe[..., -1, :]
+    head = a[..., :, :1]
+    tail = jnp.uint64(0) - jnp.flip(a[..., :, 1:], axis=-1)
+    mask = jnp.concatenate([head, tail], axis=-1)         # [..., k, N]
+    mask = mask.reshape(mask.shape[:-2] + (-1,))
+    return jnp.concatenate([mask, b[..., :1]], axis=-1)
+
+
+def pbs_bit_to_level(lwe_small, bsk, target_log: int, params: WopbsParams):
+    """Bootstrap a 1-bit LWE (bit at 2^63) to LWE_bigkey(bit · 2^(64-target_log)).
+
+    The gadget-scaling PBS inside circuit bootstrapping (tfhe-rs
+    `homomorphic_shift_boolean`): shift the input by q/4 so the noise around 0
+    stays on one side, blind-rotate a constant test vector
+    c = -2^(64-target_log-1), extract, and re-center by adding -c.
+    """
+    p = params
+    c = (1 << 64) - (1 << (64 - target_log - 1))          # -2^(64-target-1) mod 2^64
+    shifted = jnp.asarray(lwe_small, U64).at[..., -1].add(jnp.uint64(1 << 62))
+    test_poly = jnp.full((p.polynomial_size,), jnp.uint64(c))
+    acc = blind_rotate(shifted, bsk, test_poly, p)
+    out = sample_extract0(acc)
+    return out.at[..., -1].add(jnp.uint64((1 << (64 - target_log - 1))))

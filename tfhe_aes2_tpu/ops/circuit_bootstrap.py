@@ -1,0 +1,138 @@
+"""Circuit bootstrapping + vertical-packing CMux-tree lookup (WoP-PBS core).
+
+TPU-native equivalent of tfhe-rs `circuit_bootstrapping_vertical_packing`
+(reference call site shortint_woppbs_1bit.rs:328; algorithm from
+eprint 2017/430): each input bit becomes a GGSW via `cbs_level` scaling
+bootstraps + k+1 private functional keyswitches, then the multivalued LUT is
+evaluated with a CMux tree over packed LUT polynomials and a final
+CMux-rotation stage, one polynomial per output bit.
+
+The reference notes the per-bit GGSW bootstraps run serially inside tfhe-rs
+(README.md:70-71); here all bits of all bytes in the batch bootstrap together
+through one batched blind rotation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfhe_aes2_tpu.ops import blind_rotate as br
+from tfhe_aes2_tpu.ops import keyswitch as ks
+from tfhe_aes2_tpu.ops import polynomial
+from tfhe_aes2_tpu.ops.keys import ServerKeySet
+from tfhe_aes2_tpu.ops.params import WopbsParams
+from tfhe_aes2_tpu.ops.torus import U64, encode_bit
+
+
+def circuit_bootstrap_bits(bits_big, sks: ServerKeySet, params: WopbsParams):
+    """LWE bits [..., kN+1] (bit at 2^63, big key) -> GGSW [..., L, k+1, k+1, N].
+
+    Pipeline per bit (all batched): big->small keyswitch ("extract dual bit",
+    shortint_woppbs_1bit.rs:339-363), then per cbs level a scaling PBS, then
+    k+1 pfKS to assemble the GGSW rows.
+    """
+    p = params
+    dual = ks.keyswitch(bits_big, sks.ksk, p)                      # [..., n+1]
+
+    rows_per_level = []
+    for j in range(p.cbs_level):
+        target_log = p.cbs_base_log * (j + 1)
+        lwe_j = br.pbs_bit_to_level(dual, sks.bsk, target_log, p)  # [..., kN+1]
+        rows_u = [ks.pfks(lwe_j, sks.pfpksk[u], p) for u in range(p.glwe_dimension + 1)]
+        rows_per_level.append(jnp.stack(rows_u, axis=-3))          # [..., k+1, k+1, N]
+    return jnp.stack(rows_per_level, axis=-4)                      # [..., L, k+1, k+1, N]
+
+
+def ggsw_to_rows(ggsw):
+    """[..., L, k+1(row u), k+1, N] -> [..., (k+1)·L (r = u·L + l), k+1, N]
+    matching blind_rotate.decompose_glwe's row order."""
+    *batch, l, k1, _, n = ggsw.shape
+    g = jnp.moveaxis(ggsw, -4, -3)                                 # [..., k+1, L, k+1, N]
+    return g.reshape(tuple(batch) + (k1 * l, k1, n))
+
+
+def generate_lut(input_bits: int, output_bits: int, f, params: WopbsParams) -> np.ndarray:
+    """Multivariate multivalued LUT, one packed polynomial stack per output bit.
+
+    Mirrors reference `generate_multivariate_luts`
+    (shortint_woppbs_1bit.rs:366-403): entry for input value v lives at flat
+    index v (monomial v of polynomial v >> log2 N); output bit o is the o-th
+    most significant of the `output_bits`-bit result of f.
+
+    Returns [output_bits, P, N] u64 with P = 2^max(0, input_bits - log2 N).
+    """
+    assert 0 < input_bits <= 16
+    assert 0 < output_bits <= 64
+    n = params.polynomial_size
+    logn = params.log2_poly_size
+    tree_bits = max(0, input_bits - logn)
+    p_count = 1 << tree_bits
+
+    vals = np.array([int(f(v)) for v in range(1 << input_bits)], dtype=np.uint64)
+    lut = np.zeros((output_bits, p_count * n), dtype=np.uint64)
+    for o in range(output_bits):
+        bits = (vals >> np.uint64(output_bits - 1 - o)) & np.uint64(1)
+        lut[o, : 1 << input_bits] = bits << np.uint64(63)
+    return lut.reshape(output_bits, p_count, n)
+
+
+def vertical_packing(ggsw, luts, params: WopbsParams):
+    """Evaluate the packed LUTs under the GGSW-encrypted selector bits.
+
+    ggsw: [..., T, L, k+1, k+1, N] — T selector bits, MSB first.
+    luts: [O, P, N] u64 cleartext LUT polynomials (shared across the batch).
+    returns LWE [..., O, kN+1] — one ct per output bit.
+    """
+    p = params
+    ggsw = jnp.asarray(ggsw, U64)
+    luts = jnp.asarray(luts, U64)
+    o_bits, p_count, n = luts.shape
+    t = ggsw.shape[-5]
+    tree_bits = p_count.bit_length() - 1
+    low_bits = t - tree_bits
+    assert low_bits == min(t, p.log2_poly_size)
+
+    batch = ggsw.shape[:-5]
+    k1 = p.glwe_dimension + 1
+
+    # trivial GLWE accumulators: [..., O, P, k+1, N]
+    body = jnp.broadcast_to(luts, batch + (o_bits, p_count, n))
+    acc = jnp.concatenate(
+        [jnp.zeros(batch + (o_bits, p_count, p.glwe_dimension, n), dtype=U64),
+         body[..., None, :]], axis=-2)
+
+    rows = ggsw_to_rows(ggsw.reshape((-1,) + ggsw.shape[-4:]))
+    rows = rows.reshape(batch + (t,) + rows.shape[-3:])            # [..., T, R, k+1, N]
+
+    # CMux tree over the packed polynomials, consuming tree bits LSB-first
+    # (bit tree_bits-1 distinguishes adjacent polynomials).
+    for level in range(tree_bits):
+        bit_idx = tree_bits - 1 - level
+        even, odd = acc[..., 0::2, :, :], acc[..., 1::2, :, :]
+        g = rows[..., bit_idx, :, :, :]                            # [..., R, k+1, N]
+        g = jnp.broadcast_to(g[..., None, None, :, :, :],
+                             even.shape[:-2] + g.shape[-3:])
+        acc = br.cmux_batched(g, even, odd, p.cbs_base_log, p.cbs_level)
+
+    acc = acc[..., 0, :, :]                                        # [..., O, k+1, N]
+
+    # rotation stage over the low bits (MSB of the low group first)
+    for j in range(low_bits):
+        bit_idx = tree_bits + j
+        step = 1 << (low_bits - 1 - j)
+        rotated = polynomial.monomial_mul(acc, jnp.int32(2 * n - step))
+        g = rows[..., bit_idx, :, :, :]
+        g = jnp.broadcast_to(g[..., None, :, :, :], acc.shape[:-2] + g.shape[-3:])
+        acc = br.cmux_batched(g, acc, rotated, p.cbs_base_log, p.cbs_level)
+
+    return br.sample_extract0(acc)                                 # [..., O, kN+1]
+
+
+def circuit_bootstrap_vertical_packing(bits_big, luts, sks: ServerKeySet,
+                                       params: WopbsParams):
+    """Full WoP-PBS: input bits [..., T, kN+1] (MSB first) + LUTs [O, P, N]
+    -> output bits [..., O, kN+1]."""
+    ggsw = circuit_bootstrap_bits(bits_big, sks, params)
+    return vertical_packing(ggsw, luts, params)

@@ -1,0 +1,199 @@
+"""Key generation (client side, host/CPU, numpy u64).
+
+TPU-native equivalent of the reference's keygen
+(`shortint::gen_keys` + `WopbsKey::new_wopbs_key_only_for_wopbs`,
+shortint_woppbs_1bit.rs:245-268): generates
+
+  - small LWE secret key  s  ∈ {0,1}^n
+  - GLWE secret key       S  ∈ ({0,1}^N)^k ; flattened = the "big" LWE key s'
+  - BSK: bootstrap key — GGSW_S(s_i) per small-key bit, gadget (pbs_level,
+    pbs_base_log)
+  - KSK: big->small LWE keyswitch key, gadget (ks_level, ks_base_log)
+  - PFPKSK[u], u=0..k: private functional packing keyswitch keys for the
+    circuit-bootstrap functions f_u(x) = -x·S_u (u<k) and f_k(x) = x
+
+Client-side bit encryption follows the reference exactly: fresh bits are
+encrypted under the *big* key with the lwe noise distribution
+(shortint_woppbs_1bit.rs:200-217), bit scaled to 2^63.
+
+All of this runs client-side on the host; only the evaluation keys (a pytree
+of u64 tensors) ship to the TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+
+from tfhe_aes2_tpu.ops.params import WopbsParams
+
+Q_BITS = 64
+
+
+class ServerKeySet(NamedTuple):
+    """Evaluation keys (device tensors; a jax pytree).
+
+    bsk:     [n, pbs_level, k+1(row u), k+1(component), N] u64
+             row (l, u) = GLWE_enc(0) + s_i·g_l at component u
+    ksk:     [kN, ks_level, n+1] u64 — LWE_s(s'_i · g_l)
+    pfpksk:  [k+1(fn u), kN+1(pos), pfks_level, k+1(component), N] u64
+             pos i<kN: GLWE_S(s'_i · f_u(g_l)); pos kN: GLWE_S(f_u(g_l))
+    """
+
+    bsk: np.ndarray
+    ksk: np.ndarray
+    pfpksk: np.ndarray
+
+
+@dataclass
+class ClientKey:
+    params: WopbsParams
+    lwe_sk: np.ndarray    # [n] u64 in {0,1}
+    glwe_sk: np.ndarray   # [k, N] u64 in {0,1}
+    rng: np.random.Generator
+
+    @property
+    def big_sk(self) -> np.ndarray:
+        """Flattened GLWE key: s'_{u·N + i} = S_u[i]."""
+        return self.glwe_sk.reshape(-1)
+
+    # -- client-side encryption (reference ClientKeyT, src/tfhe.rs:11-17) --
+
+    def encrypt_bits(self, bits) -> np.ndarray:
+        """bits [...] in {0,1} -> LWE cts [..., kN+1] u64 under the big key."""
+        bits = np.asarray(bits, dtype=np.uint64)
+        shape = bits.shape
+        n = self.params.big_lwe_dimension
+        a = _uniform_u64(self.rng, shape + (n,))
+        e = _gaussian_u64(self.rng, self.params.lwe_noise_std, shape)
+        m = bits << np.uint64(63)
+        b = _wrap_dot(a, self.big_sk) + m + e
+        return np.concatenate([a, b[..., None]], axis=-1)
+
+    def decrypt_bits(self, cts) -> np.ndarray:
+        """LWE cts [..., kN+1] -> bits [...] via threshold decode."""
+        cts = np.asarray(cts, dtype=np.uint64)
+        phase = cts[..., -1] - _wrap_dot(cts[..., :-1], self.big_sk)
+        return ((phase + np.uint64(1 << 62)) >> np.uint64(63)) & np.uint64(1)
+
+    def decrypt_phase(self, cts) -> np.ndarray:
+        """Raw phase (message + noise) — for noise diagnostics."""
+        cts = np.asarray(cts, dtype=np.uint64)
+        return cts[..., -1] - _wrap_dot(cts[..., :-1], self.big_sk)
+
+
+# ---------------------------------------------------------------- helpers
+
+def _uniform_u64(rng: np.random.Generator, shape) -> np.ndarray:
+    return rng.integers(0, 1 << 64, size=shape, dtype=np.uint64)
+
+
+def _gaussian_u64(rng: np.random.Generator, std_torus: float, shape) -> np.ndarray:
+    """Gaussian noise with std = std_torus * 2^64, wrapped to u64."""
+    std = std_torus * (2.0 ** Q_BITS)
+    e = np.rint(rng.normal(0.0, std, size=shape))
+    return e.astype(np.int64).astype(np.uint64)
+
+
+def _wrap_dot(a: np.ndarray, s: np.ndarray) -> np.ndarray:
+    """Wrapping u64 dot product over the last axis."""
+    with np.errstate(over="ignore"):
+        return (a * s).sum(axis=-1, dtype=np.uint64)
+
+
+def _nc_matrix_np(poly: np.ndarray) -> np.ndarray:
+    """numpy negacirculant of [N] u64 -> [N(j), N(m)]; (a⊛p)[m] = Σ_j a[j]·NC[j,m]."""
+    n = poly.shape[-1]
+    ext = np.concatenate([poly, np.uint64(0) - poly])
+    j = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    return ext[(m - j) % (2 * n)]
+
+
+def _wrap_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Wrapping u64 matmul (numpy integer matmul is modular)."""
+    with np.errstate(over="ignore"):
+        return a @ b
+
+
+class _GlweEncryptor:
+    """Vectorized GLWE encryption under S using a precomputed negacirculant."""
+
+    def __init__(self, params: WopbsParams, glwe_sk: np.ndarray,
+                 rng: np.random.Generator):
+        self.params = params
+        self.rng = rng
+        k, n = glwe_sk.shape
+        # stacked NC so that Σ_u A_u ⊛ S_u = A.reshape(-1, k·N) @ nc_stack
+        self.nc_stack = np.concatenate(
+            [_nc_matrix_np(glwe_sk[u]) for u in range(k)], axis=0)  # [kN, N]
+
+    def encrypt_zero(self, rows: int, noise_std: float):
+        """-> (A [rows, k, N], B [rows, N])"""
+        p = self.params
+        k, n = p.glwe_dimension, p.polynomial_size
+        a = _uniform_u64(self.rng, (rows, k, n))
+        e = _gaussian_u64(self.rng, noise_std, (rows, n))
+        with np.errstate(over="ignore"):
+            b = _wrap_matmul(a.reshape(rows, k * n), self.nc_stack) + e
+        return a, b
+
+
+def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, ServerKeySet]:
+    """Generate the client key and all evaluation keys."""
+    rng = np.random.default_rng(seed)
+    p = params
+    n, k, N = p.lwe_dimension, p.glwe_dimension, p.polynomial_size
+    k1 = k + 1
+    kN = k * N
+
+    lwe_sk = rng.integers(0, 2, size=(n,), dtype=np.uint64)
+    glwe_sk = rng.integers(0, 2, size=(k, N), dtype=np.uint64)
+    client = ClientKey(params=p, lwe_sk=lwe_sk, glwe_sk=glwe_sk, rng=rng)
+    big_sk = client.big_sk
+
+    enc = _GlweEncryptor(p, glwe_sk, rng)
+
+    # ---- BSK: GGSW_S(s_i), rows (l, u): enc(0) + s_i·g_l at component u ----
+    L = p.pbs_level
+    rows = n * L * k1
+    a, b = enc.encrypt_zero(rows, p.glwe_noise_std)
+    bsk = np.concatenate([a, b[:, None, :]], axis=1)       # [rows, k+1, N]
+    bsk = bsk.reshape(n, L, k1, k1, N)
+    with np.errstate(over="ignore"):
+        for l in range(L):
+            g = np.uint64(1 << (64 - p.pbs_base_log * (l + 1)))
+            for u in range(k1):
+                bsk[:, l, u, u, 0] += lwe_sk * g
+    # ---- KSK: LWE_s(s'_i · g_l) ----
+    Lk = p.ks_level
+    a = _uniform_u64(rng, (kN, Lk, n))
+    e = _gaussian_u64(rng, p.lwe_noise_std, (kN, Lk))
+    with np.errstate(over="ignore"):
+        body = _wrap_dot(a, lwe_sk) + e
+        for l in range(Lk):
+            g = np.uint64(1 << (64 - p.ks_base_log * (l + 1)))
+            body[:, l] += big_sk * g
+    ksk = np.concatenate([a, body[..., None]], axis=-1)    # [kN, Lk, n+1]
+
+    # ---- PFPKSK[u]: GLWE_S(s'_i·f_u(g_l)) with an extra row for the body ----
+    Lp = p.pfks_level
+    rows = k1 * (kN + 1) * Lp
+    a, b = enc.encrypt_zero(rows, p.pfks_noise_std)
+    pfpksk = np.concatenate([a, b[:, None, :]], axis=1).reshape(k1, kN + 1, Lp, k1, N)
+    with np.errstate(over="ignore"):
+        s_ext = np.concatenate([big_sk, np.uint64([1])])   # position kN is the body (coeff 1)
+        for u in range(k1):
+            for l in range(Lp):
+                g = np.uint64(1 << (64 - p.pfks_base_log * (l + 1)))
+                if u < k:
+                    # f_u(x) = -x·S_u : message poly = -(s'_i·g_l)·S_u
+                    msg = (np.uint64(0) - (s_ext * g))[:, None] * glwe_sk[u][None, :]
+                    pfpksk[u, :, l, k, :] += msg
+                else:
+                    # f_k(x) = x : constant poly s'_i·g_l
+                    pfpksk[u, :, l, k, 0] += s_ext * g
+
+    return client, ServerKeySet(bsk=bsk, ksk=ksk, pfpksk=pfpksk)

@@ -1,0 +1,67 @@
+"""LWE keyswitching: big->small (KS) and private functional packing (PFKS).
+
+TPU-native equivalents of tfhe-rs `keyswitch_lwe_ciphertext` and
+`private_functional_packing_keyswitch` (the pfKS inside circuit
+bootstrapping). Both are exact int8-limb matmuls of gadget digits against the
+keyswitch key tensors — MXU-shaped, batched over all concurrent lanes.
+
+`keyswitch` is also the whole of the reference's `extract_dual_bit_from_bit`
+(shortint_woppbs_1bit.rs:339-363): with one extracted bit at DeltaLog(63),
+tfhe-rs bit extraction degenerates to a single big->small keyswitch.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tfhe_aes2_tpu.ops import decomposition
+from tfhe_aes2_tpu.ops.params import WopbsParams
+from tfhe_aes2_tpu.ops.torus import U64, exact_matmul
+
+
+def keyswitch(lwe_big, ksk, params: WopbsParams):
+    """[..., kN+1] under the big key -> [..., n+1] under the small key.
+
+    out = (0, b) - Σ_{i,l} dec(a_i)_l · KSK[i, l]
+    """
+    p = params
+    lwe_big = jnp.asarray(lwe_big, U64)
+    ksk = jnp.asarray(ksk, U64)
+    kn, levels, n1 = ksk.shape
+    a, b = lwe_big[..., :-1], lwe_big[..., -1]
+
+    digits = decomposition.decompose(a, p.ks_base_log, p.ks_level)   # [..., kN, L]
+    batch = digits.shape[:-2]
+    d2 = digits.reshape((-1, kn * levels))
+    m2 = ksk.reshape((kn * levels, n1))
+    acc = exact_matmul(d2, m2, decomposition.digit_bound(p.ks_base_log),
+                       max_k=kn * levels)
+    acc = acc.reshape(batch + (n1,))
+
+    out = jnp.uint64(0) - acc
+    return out.at[..., -1].add(b)
+
+
+def pfks(lwe_big, pfpksk_u, params: WopbsParams):
+    """Private functional packing keyswitch: LWE [..., kN+1] -> GLWE [..., k+1, N].
+
+    pfpksk_u: [kN+1, L, k+1, N] for one function f_u.
+    out = Σ_l dec(b)_l·K[kN, l] - Σ_{i,l} dec(a_i)_l·K[i, l]  = GLWE(f_u(m)).
+    """
+    p = params
+    lwe_big = jnp.asarray(lwe_big, U64)
+    pfpksk_u = jnp.asarray(pfpksk_u, U64)
+    kn1, levels, k1, n = pfpksk_u.shape
+
+    digits = decomposition.decompose(lwe_big, p.pfks_base_log, p.pfks_level)
+    # negate the mask digits, keep the body digit
+    sign = jnp.concatenate(
+        [jnp.full((kn1 - 1,), -1, jnp.int32), jnp.ones((1,), jnp.int32)])
+    digits = digits * sign[:, None]
+
+    batch = digits.shape[:-2]
+    d2 = digits.reshape((-1, kn1 * levels))
+    m2 = pfpksk_u.reshape((kn1 * levels, k1 * n))
+    out = exact_matmul(d2, m2, decomposition.digit_bound(p.pfks_base_log),
+                       max_k=kn1 * levels)
+    return out.reshape(batch + (k1, n))

@@ -1,0 +1,102 @@
+"""Negacyclic polynomial arithmetic in Z_{2^64}[X]/(X^N + 1).
+
+TPU-native replacement for the reference's FFT-based polynomial layer
+(tfhe-rs `polynomial_algorithms` + fft64, driven via
+`blind_rotate_assign_mem_optimized`; SURVEY.md §2.3). Instead of an approximate
+f64 FFT we use *exact* negacirculant matrix products on the MXU: a product
+a ⊛ b is a matmul of `a`'s coefficients against the negacirculant matrix of
+`b`, evaluated in int8 limb planes with int32 accumulation (ops/torus.py).
+This is exact mod 2^64 (no FFT rounding) and maps the hot loop onto the
+systolic array.
+
+Monomial multiplications (the rotations in blind rotation) are index
+gathers on the doubled coefficient vector [p, -p].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfhe_aes2_tpu.ops.torus import U64, exact_matmul
+
+
+def negacyclic_extend(polys):
+    """[..., N] u64 -> [..., 2N]: concat(p, -p). ext[(m) mod 2N] realizes X^m signs."""
+    polys = jnp.asarray(polys, U64)
+    return jnp.concatenate([polys, jnp.uint64(0) - polys], axis=-1)
+
+
+def _nc_index(n: int) -> np.ndarray:
+    """idx[j, m] = (m - j) mod 2N so that NC[j, m] = ext[idx[j, m]] and
+    (a ⊛ b)[m] = Σ_j a[j] · NC(b)[j, m]."""
+    j = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    return ((m - j) % (2 * n)).astype(np.int32)
+
+
+def nc_matrix(polys):
+    """[..., N] u64 -> negacirculant [..., N(j), N(m)] u64."""
+    polys = jnp.asarray(polys, U64)
+    n = polys.shape[-1]
+    ext = negacyclic_extend(polys)
+    idx = jnp.asarray(_nc_index(n))
+    return jnp.take(ext, idx, axis=-1)
+
+
+def monomial_mul(polys, t):
+    """X^t * polys (negacyclic). polys [..., N] u64; t int tensor broadcastable
+    to polys.shape[:-1], values in [0, 2N).
+
+    (X^t p)[m] = ext[(m - t) mod 2N]  with ext = [p, -p].
+    """
+    polys = jnp.asarray(polys, U64)
+    n = polys.shape[-1]
+    ext = negacyclic_extend(polys)
+    t = jnp.asarray(t, jnp.int32)
+    m = jnp.arange(n, dtype=jnp.int32)
+    idx = (m - t[..., None]) % (2 * n)
+    idx = jnp.broadcast_to(idx, polys.shape[:-1] + (n,))
+    return jnp.take_along_axis(ext, idx.astype(jnp.int32), axis=-1)
+
+
+def polymul_digits_shared(digits, polys, d_bound: int):
+    """Exact Σ_r digits[..., r, :] ⊛ polys[r, o, :] -> [..., O, N] u64.
+
+    digits: [..., R, N] signed ints with |d| <= d_bound (gadget digits).
+    polys:  [R, O, N] u64 shared across the batch (e.g. one BSK entry's rows).
+
+    The negacirculant of `polys` is materialized and contracted via
+    exact_matmul; a fused Pallas kernel (ops/pallas) replaces this on TPU to
+    avoid materializing the O(R·O·N^2) matrix in HBM.
+    """
+    digits = jnp.asarray(digits)
+    polys = jnp.asarray(polys, U64)
+    r, o, n = polys.shape
+    assert digits.shape[-2:] == (r, n)
+    ncm = nc_matrix(polys)  # [R, O, N, N]
+    batch_shape = digits.shape[:-2]
+    d2 = digits.reshape((-1, r * n))
+    m2 = jnp.transpose(ncm, (0, 2, 1, 3)).reshape((r * n, o * n))
+    out = exact_matmul(d2, m2, d_bound, dn="bk,ko->bo", max_k=r * n)
+    return out.reshape(batch_shape + (o, n))
+
+
+def polymul_digits_batched(digits, polys, d_bound: int):
+    """Like polymul_digits_shared but `polys` carries the same batch dims as
+    `digits`: digits [..., R, N], polys [..., R, O, N] -> [..., O, N].
+
+    Used by vertical packing where each lane has its own GGSW.
+    """
+    digits = jnp.asarray(digits)
+    polys = jnp.asarray(polys, U64)
+    *batch, r, o, n = polys.shape
+    assert digits.shape[-2:] == (r, n)
+    ncm = nc_matrix(polys)  # [..., R, O, N(j), N(m)]
+    d2 = digits.reshape((-1, r, n))
+    m2 = ncm.reshape((-1, r, o, n, n))
+    out = exact_matmul(d2, m2, d_bound, dn="brj,brojm->bom", max_k=r * n)
+    return out.reshape(tuple(batch) + (o, n))
