@@ -8,11 +8,20 @@ xla_force_host_platform_device_count.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The deployment environment exports JAX_PLATFORMS=axon (a tunneled TPU) and a
+# sitecustomize that imports jax before conftest runs, so plain env overrides
+# are too late — update the live jax config instead. Tests always run on the
+# CPU backend with 8 virtual devices; the TPU is exercised by bench.py and
+# __graft_entry__.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
