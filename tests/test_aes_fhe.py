@@ -1,0 +1,76 @@
+"""FHE AES tests (mirrors reference test_helper.rs).
+
+test_light: 2 rounds, key schedule computed in the clear then FHE-encrypted,
+compared against the plain partial-round oracle (test_helper.rs:94-120).
+Uses the small (insecure, fast) test parameter set on the CPU backend; the
+production parameter sets run in bench.py / test_full on TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
+from tfhe_aes2_tpu.aes_128 import fhe_encryption, plain
+from tfhe_aes2_tpu.models import shortint_woppbs_1bit as model
+from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext, NoiseError
+from tfhe_aes2_tpu.ops.params import PARAMS_TEST_N256
+
+
+@pytest.fixture(scope="module")
+def ctx_and_client(keys_test_n256):
+    client, sks = keys_test_n256
+    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    return client, FheContext(params=client.params, sks=sks_dev)
+
+
+def _test_light(client, ctx, strategy, rounds=2, n_blocks=1):
+    rng = np.random.default_rng(42)
+    key = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+    blocks = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+              for _ in range(n_blocks)]
+
+    ks_clear = plain.key_schedule(key)
+    ks_ct = fhe_encryption.encrypt_word_array(client, ks_clear)
+    block_cts = fhe_encryption.encrypt_blocks(client, blocks)
+
+    fn = fhe_mod.make_encrypt_blocks_fn(strategy, client.params, rounds)
+    out = np.asarray(fn(ctx.sks, jnp.asarray(ks_ct), jnp.asarray(block_cts)))
+
+    got = fhe_encryption.decrypt_blocks(client, out)
+    expect = plain.expand_key_and_encrypt_blocks(key, blocks, rounds)
+    assert got == expect
+
+
+def test_light_gal_mul(ctx_and_client):
+    """fhe_impls/shortint_woppbs_1bit.rs:186-193 equivalent."""
+    client, ctx = ctx_and_client
+    _test_light(client, ctx, fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt)
+
+
+def test_light_gal_mul_batch2(ctx_and_client):
+    client, ctx = ctx_and_client
+    _test_light(client, ctx, fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt,
+                n_blocks=2)
+
+
+def test_xor_noise_overflow_raises(ctx_and_client):
+    """Mirrors shortint_woppbs_1bit.rs:505-518 (#[should_panic] NoiseTooBig):
+    XOR accumulation past max_noise_level_squared must fail."""
+    client, ctx = ctx_and_client
+    cts = [model.fresh_bitct(jnp.asarray(client.encrypt_bits(np.array([i & 1]))), ctx)
+           for i in range(80)]
+    acc = cts[0]
+    with pytest.raises(NoiseError, match="NoiseTooBig"):
+        for c in cts[1:]:
+            acc = acc ^ c
+
+
+def test_xor_not_independent_raises(ctx_and_client):
+    """Mirrors shortint_woppbs_1bit.rs:520-529: XOR of a ciphertext with
+    itself must fail the independence check."""
+    client, ctx = ctx_and_client
+    ct = model.fresh_bitct(jnp.asarray(client.encrypt_bits(np.array([1]))), ctx)
+    with pytest.raises(NoiseError, match="not independent"):
+        _ = ct ^ ct

@@ -1,0 +1,120 @@
+"""AES pipeline B (production): SBOX + Galois multiplication fused into one
+multivalued circuit bootstrap (reference fhe_sbox_gal_mul_pbs.rs).
+
+Per round, the 16 bytes (x batch) run ONE batched 8->24-bit circuit bootstrap
+producing [S(x)·1, S(x)·2, S(x)·3]; MixColumns is then a pure XOR combine of
+the three states (leveled depth 5, README.md:32-35). The reference's stated
+headroom — the 8 per-SBOX GGSW bootstraps running serially in tfhe-rs
+(README.md:70-71) — is structural here: all 128·batch GGSW bootstraps of a
+round advance through one batched blind rotation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tfhe_aes2_tpu.aes_128 import RC, SBOX, gf_256_mul
+from tfhe_aes2_tpu.aes_128 import data_model as dm
+from tfhe_aes2_tpu.models.shortint_woppbs_1bit import BitCt, FheContext
+
+_LUT_CACHE: dict = {}
+
+
+def sbox_gal_mul_lut(ctx: FheContext) -> np.ndarray:
+    """8->24 LUT: [S(x)·1 ‖ S(x)·2 ‖ S(x)·3] (fhe_impls/shortint_woppbs_1bit.rs:94-111)."""
+    key = ("gal_mul", ctx.params)
+    if key not in _LUT_CACHE:
+        _LUT_CACHE[key] = ctx.generate_lookup_table(
+            8, 24,
+            lambda b: (gf_256_mul(int(SBOX[b]), 1) << 16)
+                      | (gf_256_mul(int(SBOX[b]), 2) << 8)
+                      | gf_256_mul(int(SBOX[b]), 3))
+    return _LUT_CACHE[key]
+
+
+def sbox_lut(ctx: FheContext) -> np.ndarray:
+    """8->8 SBOX LUT (fhe_impls/shortint_woppbs_1bit.rs:32-44)."""
+    key = ("sbox", ctx.params)
+    if key not in _LUT_CACHE:
+        _LUT_CACHE[key] = ctx.generate_lookup_table(8, 8, lambda b: int(SBOX[b]))
+    return _LUT_CACHE[key]
+
+
+def identity_lut(ctx: FheContext) -> np.ndarray:
+    """1->1 identity LUT for noise-reset bootstraps."""
+    key = ("identity", ctx.params)
+    if key not in _LUT_CACHE:
+        _LUT_CACHE[key] = ctx.generate_lookup_table(1, 1, lambda b: b)
+    return _LUT_CACHE[key]
+
+
+def sub_bytes_with_gal_mul(ctx: FheContext, state: BitCt):
+    """[..., 16, 8] -> three states (S·1, S·2, S·3) (fhe_sbox_gal_mul_pbs.rs:27-48)."""
+    out = ctx.circuit_bootstrap(state, sbox_gal_mul_lut(ctx))  # [..., 16, 24]
+    mul1 = out.slice_lanes(slice(0, 8), axis=-1)
+    mul2 = out.slice_lanes(slice(8, 16), axis=-1)
+    mul3 = out.slice_lanes(slice(16, 24), axis=-1)
+    return mul1, mul2, mul3
+
+
+def sub_bytes(ctx: FheContext, state: BitCt) -> BitCt:
+    return ctx.circuit_bootstrap(state, sbox_lut(ctx))
+
+
+def mix_columns(muls) -> BitCt:
+    """new[i] = 2·a[i] ^ 3·a[i+1] ^ a[i+2] ^ a[i+3] per column, combined from
+    the three bootstrapped states (fhe_sbox_gal_mul_pbs.rs:61-82)."""
+    mul1, mul2, mul3 = muls
+    return (mul2 ^ dm.rot_rows(mul3, 1)) ^ (dm.rot_rows(mul1, 2) ^ dm.rot_rows(mul1, 3))
+
+
+def boot_word(ctx: FheContext, word: BitCt) -> BitCt:
+    """Identity bootstrap per bit to reset noise (fhe_sbox_gal_mul_pbs.rs:166-180)."""
+    flat = word.reshape_lanes(int(np.prod(word.lane_shape)), 1)
+    booted = ctx.circuit_bootstrap(flat, identity_lut(ctx))
+    return booted.reshape_lanes(*word.lane_shape)
+
+
+def encrypt_block_for_rounds(ctx: FheContext, expanded_key: BitCt,
+                             blocks: BitCt, rounds: int) -> BitCt:
+    """FHE AES rounds on a batch of blocks (fhe_sbox_gal_mul_pbs.rs:84-132).
+
+    expanded_key: BitCt lanes [44, 4, 8]; blocks: BitCt lanes [16, 8] with
+    leading batch axes.
+    """
+    state = blocks ^ dm.key_word_group(expanded_key, 0)
+
+    for i in range(1, rounds):
+        muls = sub_bytes_with_gal_mul(ctx, state)
+        muls = tuple(dm.shift_rows(m) for m in muls)
+        state = mix_columns(muls)
+        state = state ^ dm.key_word_group(expanded_key, i)
+
+    state = sub_bytes(ctx, state)
+    state = dm.shift_rows(state)
+    # final-round key is always words 40..44 (fhe_sbox_gal_mul_pbs.rs:126-129)
+    state = state ^ dm.key_word_group(expanded_key, 10)
+    return state
+
+
+def key_schedule(ctx: FheContext, key: BitCt) -> BitCt:
+    """FHE key expansion (fhe_sbox_gal_mul_pbs.rs:134-164).
+
+    key: BitCt lanes [16, 8] -> expanded key BitCt lanes [44, 4, 8].
+    Each new word is bootstrapped (identity per bit) to reset noise.
+    """
+    words = [key.slice_lanes(slice(4 * i, 4 * i + 4), axis=0) for i in range(4)]
+
+    for i in range(4, 44):
+        if i % 4 == 0:
+            rot = words[i - 1].take_lanes(np.array([1, 2, 3, 0]), axis=0)
+            sub = ctx.circuit_bootstrap(rot, sbox_lut(ctx))
+            w = words[i - 4] ^ sub
+            rc = dm.trivial_byte(ctx, int(RC[i // 4]))
+            w0 = w.slice_lanes(slice(0, 1), axis=0) ^ rc.reshape_lanes(1, 8)
+            w = BitCt.concat_lanes([w0, w.slice_lanes(slice(1, 4), axis=0)], axis=0)
+        else:
+            w = words[i - 4] ^ words[i - 1]
+        words.append(boot_word(ctx, w))
+
+    return BitCt.concat_lanes([w.reshape_lanes(1, 4, 8) for w in words], axis=0)

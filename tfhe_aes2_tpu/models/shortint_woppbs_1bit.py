@@ -1,0 +1,211 @@
+"""Model `shortint_woppbs_1bit` — 1-bit ciphertexts with WoP-PBS (production).
+
+TPU-native re-design of reference src/tfhe/shortint_woppbs_1bit.rs:
+
+  * `BitCt` here is a *tensor* of bit ciphertexts: an array [..., kN+1] whose
+    trailing axis is one LWE ct per lane, plus per-lane noise metadata. The
+    reference's one-heap-object-per-bit + rayon becomes struct-of-arrays +
+    batched kernels.
+  * XOR = wrapping LWE add (shortint_woppbs_1bit.rs:134-142) with
+    variance-based noise tracking under the independence heuristic
+    (README.md:46-63): `noise_level_squared` adds on XOR and is validated
+    against `max_noise_level_squared`.
+  * The noise-independence sanitizer (unique ciphertext ids + component-set
+    disjointness assert, shortint_woppbs_1bit.rs:35-78) runs **at trace
+    time**: the AES circuit is static, so the check costs nothing at runtime
+    yet fails exactly where the reference would panic.
+  * `circuit_bootstrap` = bit extract (keyswitch) -> per-level scaling PBS ->
+    pfKS -> vertical-packing lookup, output noise = NOMINAL x input_bit_count
+    (shortint_woppbs_1bit.rs:322-330, Lemma 3.2 of eprint 2017/430).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfhe_aes2_tpu.ops import circuit_bootstrap as cbs_ops
+from tfhe_aes2_tpu.ops import keys as keys_mod
+from tfhe_aes2_tpu.ops import lwe as lwe_ops
+from tfhe_aes2_tpu.ops.params import (
+    PARAMS_SQRD_LVL_1, PARAMS_SQRD_LVL_4, PARAMS_SQRD_LVL_64,
+    PARAMS_SQRD_LVL_256, WopbsParams)
+from tfhe_aes2_tpu.ops.torus import U64
+
+
+class NoiseError(Exception):
+    """Raised when noise accounting overflows (the reference's NoiseTooBig /
+    'noise components not independent' panics)."""
+
+
+_ID_COUNTER = itertools.count(1)
+
+
+def _fresh_ids(shape) -> np.ndarray:
+    """Array of singleton component sets with globally unique ids."""
+    out = np.empty(shape, dtype=object)
+    flat = out.reshape(-1)
+    for i in range(flat.size):
+        flat[i] = frozenset((next(_ID_COUNTER),))
+    return out
+
+
+def _empty_ids(shape) -> np.ndarray:
+    out = np.empty(shape, dtype=object)
+    out.reshape(-1)[:] = [frozenset()] * out.size
+    return out
+
+
+@dataclass
+class FheContext:
+    """Server-side evaluation context (reference FheContext,
+    shortint_woppbs_1bit.rs:166-179)."""
+
+    params: WopbsParams
+    sks: keys_mod.ServerKeySet  # device arrays (or tracers inside jit)
+
+    def trivial_bits(self, bits) -> "BitCt":
+        """Trivial (noiseless) ciphertexts of `bits` (ContextT::trivial)."""
+        arr = lwe_ops.trivial_bits(jnp.asarray(np.asarray(bits)),
+                                   self.params.big_lwe_dimension)
+        shape = np.asarray(bits).shape
+        return BitCt(arr, np.zeros(shape, np.int64), _empty_ids(shape), self)
+
+    def generate_lookup_table(self, input_bits: int, output_bits: int,
+                              f: Callable[[int], int]) -> np.ndarray:
+        """reference generate_lookup_table (shortint_woppbs_1bit.rs:274-289)."""
+        return cbs_ops.generate_lut(input_bits, output_bits, f, self.params)
+
+    def circuit_bootstrap(self, bits: "BitCt", lut: np.ndarray) -> "BitCt":
+        """Multivariate multivalued bootstrap.
+
+        bits: BitCt whose last lane axis is the T input bits, MSB first
+              (array [..., T, kN+1]).
+        lut:  [O, P, N] from generate_lookup_table.
+        Returns BitCt [..., O lanes]: noise_level_squared = T (NOMINAL x
+        input_bit_count, shortint_woppbs_1bit.rs:322-330), fresh components.
+        """
+        t = bits.array.shape[-2]
+        o = lut.shape[0]
+        out = cbs_ops.circuit_bootstrap_vertical_packing(
+            bits.array, jnp.asarray(lut), self.sks, self.params)
+        lane_shape = bits.lane_shape[:-1] + (o,)
+        return BitCt(out, np.full(lane_shape, t, np.int64),
+                     _fresh_ids(lane_shape), self)
+
+
+@dataclass
+class BitCt:
+    """Tensor of 1-bit LWE ciphertexts under the big (GLWE-as-LWE) key.
+
+    array: [..., *lane_shape, kN+1] u64 (leading axes are batch).
+    noise_sq / comps: per-lane metadata with shape lane_shape (batch lanes are
+    statistically identical, so metadata is tracked once per lane, matching
+    the reference's per-ciphertext tracking for each block independently).
+    """
+
+    array: jnp.ndarray
+    noise_sq: np.ndarray      # int64 [lane_shape]
+    comps: np.ndarray         # object [lane_shape] of frozenset
+    context: FheContext
+
+    @property
+    def lane_shape(self):
+        return self.noise_sq.shape
+
+    # ---- XOR (reference BitXor, shortint_woppbs_1bit.rs:134-151) ----
+
+    def __xor__(self, rhs: "BitCt") -> "BitCt":
+        noise_sq = self.noise_sq + rhs.noise_sq
+        max_sq = self.context.params.max_noise_level_squared
+        if noise_sq.max(initial=0) > max_sq:
+            raise NoiseError(
+                f"NoiseTooBig: noise_level_squared {noise_sq.max()} exceeds "
+                f"max {max_sq}")
+        inter = np.frompyfunc(lambda a, b: a & b, 2, 1)(self.comps, rhs.comps)
+        if any(len(s) > 0 for s in inter.reshape(-1)):
+            raise NoiseError("noise components not independent")
+        comps = np.frompyfunc(lambda a, b: a | b, 2, 1)(self.comps, rhs.comps)
+        return BitCt(lwe_ops.add(self.array, rhs.array), noise_sq, comps,
+                     self.context)
+
+    # ---- lane manipulation (gathers carry metadata along) ----
+
+    def take_lanes(self, idx, axis: int) -> "BitCt":
+        """Gather lanes along lane axis `axis` (0 = outermost lane axis)."""
+        idx = np.asarray(idx)
+        n_lane = len(self.lane_shape)
+        axis = axis % n_lane
+        arr_axis = self.array.ndim - 1 - n_lane + axis
+        return BitCt(jnp.take(self.array, jnp.asarray(idx), axis=arr_axis),
+                     np.take(self.noise_sq, idx, axis=axis),
+                     np.take(self.comps, idx, axis=axis), self.context)
+
+    def reshape_lanes(self, *lane_shape) -> "BitCt":
+        batch = self.array.shape[: self.array.ndim - 1 - len(self.lane_shape)]
+        arr = self.array.reshape(batch + tuple(lane_shape) + self.array.shape[-1:])
+        return BitCt(arr, self.noise_sq.reshape(lane_shape),
+                     self.comps.reshape(lane_shape), self.context)
+
+    def slice_lanes(self, sl, axis: int = 0) -> "BitCt":
+        """Slice one lane axis with python slice `sl`."""
+        n_lane = len(self.lane_shape)
+        axis = axis % n_lane
+        arr_axis = self.array.ndim - 1 - n_lane + axis
+        indexer = [slice(None)] * self.array.ndim
+        indexer[arr_axis] = sl
+        meta_idx = [slice(None)] * n_lane
+        meta_idx[axis] = sl
+        return BitCt(self.array[tuple(indexer)], self.noise_sq[tuple(meta_idx)],
+                     self.comps[tuple(meta_idx)], self.context)
+
+    @staticmethod
+    def concat_lanes(parts: list["BitCt"], axis: int = 0) -> "BitCt":
+        n_lane = len(parts[0].lane_shape)
+        axis = axis % n_lane
+        arr_axis = parts[0].array.ndim - 1 - n_lane + axis
+        return BitCt(jnp.concatenate([p.array for p in parts], axis=arr_axis),
+                     np.concatenate([p.noise_sq for p in parts], axis=axis),
+                     np.concatenate([p.comps for p in parts], axis=axis),
+                     parts[0].context)
+
+
+def fresh_bitct(arrays, context: FheContext, lane_ndim: int | None = None) -> BitCt:
+    """Wrap freshly encrypted ct arrays ([..., kN+1]) as a BitCt with nominal
+    noise (1) and fresh component ids. `lane_ndim` selects how many trailing
+    axes (before the ct axis) are lanes; default: all."""
+    arrays = jnp.asarray(arrays, U64)
+    if lane_ndim is None:
+        lane_ndim = arrays.ndim - 1
+    lane_shape = arrays.shape[arrays.ndim - 1 - lane_ndim: -1]
+    return BitCt(arrays, np.ones(lane_shape, np.int64), _fresh_ids(lane_shape),
+                 context)
+
+
+def generate_keys(params: WopbsParams = PARAMS_SQRD_LVL_64, seed: int = 0):
+    """Generate (ClientKey, FheContext) — reference generate_keys_sqrd_lvl_*
+    (shortint_woppbs_1bit.rs:229-268)."""
+    client, sks = keys_mod.generate_keys(params, seed=seed)
+    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    return client, FheContext(params=params, sks=sks_dev)
+
+
+def generate_keys_sqrd_lvl_1(seed: int = 0):
+    return generate_keys(PARAMS_SQRD_LVL_1, seed)
+
+
+def generate_keys_sqrd_lvl_4(seed: int = 0):
+    return generate_keys(PARAMS_SQRD_LVL_4, seed)
+
+
+def generate_keys_sqrd_lvl_64(seed: int = 0):
+    return generate_keys(PARAMS_SQRD_LVL_64, seed)
+
+
+def generate_keys_sqrd_lvl_256(seed: int = 0):
+    return generate_keys(PARAMS_SQRD_LVL_256, seed)

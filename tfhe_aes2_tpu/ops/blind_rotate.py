@@ -54,11 +54,13 @@ def external_product_shared(ggsw_rows, glwe, base_log: int, levels: int):
         digits, ggsw_rows, decomposition.digit_bound(base_log))
 
 
-def external_product_batched(ggsw_rows, glwe, base_log: int, levels: int):
-    """GGSW rows batched alongside the GLWE: ggsw_rows [..., R, k+1, N]."""
+def external_product_grouped(ggsw_rows, glwe, base_log: int, levels: int,
+                             group_ndim: int = 0):
+    """GGSW rows [..., R, k+1, N] applied to GLWEs [..., G..., k+1, N] that
+    share the GGSW over `group_ndim` trailing group axes."""
     digits = decompose_glwe(glwe, base_log, levels)
-    return polynomial.polymul_digits_batched(
-        digits, ggsw_rows, decomposition.digit_bound(base_log))
+    return polynomial.polymul_digits_grouped(
+        digits, ggsw_rows, decomposition.digit_bound(base_log), group_ndim)
 
 
 def cmux_shared(ggsw_rows, ct0, ct1, base_log: int, levels: int):
@@ -67,9 +69,11 @@ def cmux_shared(ggsw_rows, ct0, ct1, base_log: int, levels: int):
     return jnp.asarray(ct0, U64) + external_product_shared(ggsw_rows, diff, base_log, levels)
 
 
-def cmux_batched(ggsw_rows, ct0, ct1, base_log: int, levels: int):
+def cmux_grouped(ggsw_rows, ct0, ct1, base_log: int, levels: int,
+                 group_ndim: int = 0):
     diff = jnp.asarray(ct1, U64) - jnp.asarray(ct0, U64)
-    return jnp.asarray(ct0, U64) + external_product_batched(ggsw_rows, diff, base_log, levels)
+    return jnp.asarray(ct0, U64) + external_product_grouped(
+        ggsw_rows, diff, base_log, levels, group_ndim)
 
 
 def blind_rotate(lwe, bsk, test_poly, params: WopbsParams):

@@ -107,14 +107,15 @@ def vertical_packing(ggsw, luts, params: WopbsParams):
     rows = rows.reshape(batch + (t,) + rows.shape[-3:])            # [..., T, R, k+1, N]
 
     # CMux tree over the packed polynomials, consuming tree bits LSB-first
-    # (bit tree_bits-1 distinguishes adjacent polynomials).
+    # (bit tree_bits-1 distinguishes adjacent polynomials). The per-lane GGSW
+    # is shared across the (O, P) group axes — group_ndim=2 keeps the
+    # negacirculant per batch element, not per lane.
     for level in range(tree_bits):
         bit_idx = tree_bits - 1 - level
         even, odd = acc[..., 0::2, :, :], acc[..., 1::2, :, :]
         g = rows[..., bit_idx, :, :, :]                            # [..., R, k+1, N]
-        g = jnp.broadcast_to(g[..., None, None, :, :, :],
-                             even.shape[:-2] + g.shape[-3:])
-        acc = br.cmux_batched(g, even, odd, p.cbs_base_log, p.cbs_level)
+        acc = br.cmux_grouped(g, even, odd, p.cbs_base_log, p.cbs_level,
+                              group_ndim=2)
 
     acc = acc[..., 0, :, :]                                        # [..., O, k+1, N]
 
@@ -124,8 +125,8 @@ def vertical_packing(ggsw, luts, params: WopbsParams):
         step = 1 << (low_bits - 1 - j)
         rotated = polynomial.monomial_mul(acc, jnp.int32(2 * n - step))
         g = rows[..., bit_idx, :, :, :]
-        g = jnp.broadcast_to(g[..., None, :, :, :], acc.shape[:-2] + g.shape[-3:])
-        acc = br.cmux_batched(g, acc, rotated, p.cbs_base_log, p.cbs_level)
+        acc = br.cmux_grouped(g, acc, rotated, p.cbs_base_log, p.cbs_level,
+                              group_ndim=1)
 
     return br.sample_extract0(acc)                                 # [..., O, kN+1]
 

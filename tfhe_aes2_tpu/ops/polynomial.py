@@ -85,18 +85,30 @@ def polymul_digits_shared(digits, polys, d_bound: int):
     return out.reshape(batch_shape + (o, n))
 
 
-def polymul_digits_batched(digits, polys, d_bound: int):
-    """Like polymul_digits_shared but `polys` carries the same batch dims as
-    `digits`: digits [..., R, N], polys [..., R, O, N] -> [..., O, N].
+def polymul_digits_grouped(digits, polys, d_bound: int, group_ndim: int = 0):
+    """digits [..., G..., R, N] x polys [..., R, O, N] -> [..., G..., O, N].
 
-    Used by vertical packing where each lane has its own GGSW.
+    `polys` is batched like `digits` minus `group_ndim` group axes — e.g. in
+    vertical packing, one GGSW per byte drives many LUT-polynomial lanes. The
+    negacirculant is materialized once per polys batch element, not per lane.
     """
     digits = jnp.asarray(digits)
     polys = jnp.asarray(polys, U64)
-    *batch, r, o, n = polys.shape
+    *pbatch, r, o, n = polys.shape
     assert digits.shape[-2:] == (r, n)
+    group_shape = digits.shape[len(pbatch): -2]
+    assert len(group_shape) == group_ndim
+    assert tuple(digits.shape[: len(pbatch)]) == tuple(pbatch)
     ncm = nc_matrix(polys)  # [..., R, O, N(j), N(m)]
-    d2 = digits.reshape((-1, r, n))
+    g = 1
+    for s in group_shape:
+        g *= s
+    d2 = digits.reshape((-1, g, r, n))
     m2 = ncm.reshape((-1, r, o, n, n))
-    out = exact_matmul(d2, m2, d_bound, dn="brj,brojm->bom", max_k=r * n)
-    return out.reshape(tuple(batch) + (o, n))
+    out = exact_matmul(d2, m2, d_bound, dn="bgrj,brojm->bgom", max_k=r * n)
+    return out.reshape(tuple(pbatch) + group_shape + (o, n))
+
+
+def polymul_digits_batched(digits, polys, d_bound: int):
+    """digits [..., R, N], polys [..., R, O, N] (same batch) -> [..., O, N]."""
+    return polymul_digits_grouped(digits, polys, d_bound, group_ndim=0)

@@ -35,16 +35,23 @@ def decode_bit(enc):
     return ((enc + (jnp.uint64(1) << jnp.uint64(62))) >> jnp.uint64(63)) & jnp.uint64(1)
 
 
-def split_u64_signed(x):
-    """u64 tensor [...] -> int8 limb planes [8, ...], balanced base-256.
-
-    Σ_i planes[i]·256^i ≡ x (mod 2^64), planes[i] ∈ [-128, 128).
+def split_u64_signed(x, limb_bits: int = 8):
+    """u64 tensor [...] -> signed limb planes [64/limb_bits, ...], balanced
+    base-2^limb_bits: Σ_i planes[i]·2^(w·i) ≡ x (mod 2^64),
+    planes[i] ∈ [-2^(w-1), 2^(w-1)). int8 planes for w=8, int32 for w=16.
     """
+    w = limb_bits
+    assert 64 % w == 0
+    n = 64 // w
     x = jnp.asarray(x, U64)
-    y = x + _OFFSET64
+    offset = jnp.uint64(sum(1 << (w - 1 + w * i) for i in range(n)))
+    y = x + offset
+    half = 1 << (w - 1)
+    mask = jnp.uint64((1 << w) - 1)
+    out_dtype = jnp.int8 if w == 8 else jnp.int32
     planes = [
-        (((y >> jnp.uint64(8 * i)) & jnp.uint64(0xFF)).astype(jnp.int32) - 128).astype(jnp.int8)
-        for i in range(8)
+        (((y >> jnp.uint64(w * i)) & mask).astype(jnp.int64) - half).astype(out_dtype)
+        for i in range(n)
     ]
     return jnp.stack(planes, axis=0)
 
@@ -84,24 +91,33 @@ def exact_matmul(d, m_u64, d_bound: int, dn: str = "bk,ko->bo", max_k: int | Non
     """Exact wrapping-u64 contraction out = einsum(dn, d, m) mod 2^64.
 
     d: integer tensor (digits), |d| <= d_bound. m_u64: uint64 tensor.
-    Evaluated as int8 limb-plane matmuls with int32 accumulation (MXU-native),
-    recombined with u64 shifts. `dn` is an einsum spec with exactly one
-    contracted index; `max_k` (product of contracted extents) guards int32
-    overflow and is inferred from the spec when the operands make it obvious.
+    `dn` is an einsum spec with exactly one contracted index; `max_k` (product
+    of contracted extents) guards accumulator overflow.
 
     This is the single hot primitive of the framework — keyswitch, pfKS and
     (via negacirculant matrices) every polynomial product route through it.
+    Two exact lowerings:
+      * TPU: int8 limb planes on both operands, int32 MXU accumulation.
+      * CPU: full digits x int8 limb planes of m in f64 (Eigen DGEMM);
+        exact while d_bound·128·K < 2^53. XLA CPU has no fast int8 GEMM.
     """
     d = jnp.asarray(d)
     m_u64 = jnp.asarray(m_u64, U64)
 
+    if jax.default_backend() == "cpu":
+        return _exact_matmul_f64(d, m_u64, d_bound, dn, max_k)
+    return _exact_matmul_i8(d, m_u64, d_bound, dn, max_k)
+
+
+def _exact_matmul_i8(d, m_u64, d_bound: int, dn: str, max_k: int | None):
     n_d = limbs_for_bound(d_bound)
     d_planes = split_int32_signed(d.astype(jnp.int32), n_d)      # [n_d, ...d]
     m_planes = split_u64_signed(m_u64)                           # [8, ...m]
 
-    # int32 overflow guard: K * 127 * 127 < 2^31
+    # int32 overflow guard: n_terms * K * 127 * 127 < 2^31
     if max_k is not None:
-        assert max_k * 127 * 127 < 2 ** 31, "contraction too long for int32 accumulation"
+        assert min(n_d, 8) * max_k * 127 * 127 < 2 ** 31, \
+            "contraction too long for int32 accumulation"
 
     # Accumulate partial sums per total shift s = i + j (weight 256^s); s >= 8
     # vanishes mod 2^64.
@@ -118,5 +134,20 @@ def exact_matmul(d, m_u64, d_bound: int, dn: str = "bk,ko->bo", max_k: int | Non
         if partial is None:
             continue
         term = sext_i32_to_u64(partial) << jnp.uint64(8 * s)
+        out = term if out is None else out + term
+    return out
+
+
+def _exact_matmul_f64(d, m_u64, d_bound: int, dn: str, max_k: int | None):
+    w = 16  # 4 limb planes; exact while d_bound·2^(w-1)·K < 2^53
+    if max_k is not None:
+        assert d_bound * (1 << (w - 1)) * max_k < 2 ** 53, \
+            "contraction too long for f64"
+    d64 = d.astype(jnp.float64)
+    m_planes = split_u64_signed(m_u64, w).astype(jnp.float64)    # [64/w, ...m]
+    out = None
+    for j in range(64 // w):
+        p = jnp.einsum(dn, d64, m_planes[j])
+        term = p.astype(jnp.int64).astype(U64) << jnp.uint64(w * j)
         out = term if out is None else out + term
     return out
