@@ -1,0 +1,110 @@
+"""Benchmark: FHE AES-128 CTR blocks/sec on the available accelerator.
+
+Runs the production parameter set (sqrd_lvl_64 — the reference's submitted
+configuration, main.rs:83) end-to-end: FHE key expansion + batched CTR block
+encryption, decrypt-verified against the independent AES authority, then
+prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md). The 1x mark used
+here is 1/240 blocks/s (4 min/block) — the order of magnitude reported for
+tfhe-rs WoP-PBS AES-128 implementations of this bounty generation on a
+multi-core CPU; see BASELINE.md for provenance and caveats.
+
+Env knobs: BENCH_BLOCKS (default 4), BENCH_PARAMS (lvl64|test), BENCH_ROUNDS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+BASELINE_BLOCKS_PER_S = 1.0 / 240.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_aes2_tpu  # noqa: F401 (x64)
+    from tfhe_aes2_tpu.aes_128 import aes_lib, fhe as fhe_mod, fhe_encryption
+    from tfhe_aes2_tpu.aes_128.scenario import ctr_blocks
+    from tfhe_aes2_tpu.ops import keys as keys_mod
+    from tfhe_aes2_tpu.ops.params import PARAMS_SQRD_LVL_64, PARAMS_TEST_N256
+
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", "4"))
+    which = os.environ.get("BENCH_PARAMS", "lvl64")
+    rounds = int(os.environ.get("BENCH_ROUNDS", "10"))
+    params = {"lvl64": PARAMS_SQRD_LVL_64, "test": PARAMS_TEST_N256}[which]
+
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()} "
+          f"params={which} blocks={n_blocks} rounds={rounds}", file=sys.stderr)
+
+    t0 = time.time()
+    client, sks = keys_mod.generate_keys(params, seed=11)
+    print(f"[bench] keygen {time.time()-t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    jax.block_until_ready(sks_dev)
+    print(f"[bench] key transfer {time.time()-t0:.1f}s", file=sys.stderr)
+
+    key = bytes.fromhex("76b8e0ada0f13d90405d6ae55386bd28")
+    iv = bytes.fromhex("bdd219b8a08ded1a")
+    blocks_clear = ctr_blocks(iv, n_blocks)
+    key_ct = fhe_encryption.encrypt_byte_array(client, key)
+    block_cts = fhe_encryption.encrypt_blocks(client, blocks_clear)
+
+    strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+
+    # key expansion (compiled separately, timed separately — main.rs:130-139)
+    ks_fn = fhe_mod.make_key_schedule_fn(strategy, params)
+    t0 = time.time()
+    eks = ks_fn(sks_dev, jnp.asarray(key_ct))
+    eks.block_until_ready()
+    t_expand = time.time() - t0
+    print(f"[bench] key expansion (incl compile) {t_expand:.1f}s", file=sys.stderr)
+
+    enc_fn = fhe_mod.make_encrypt_blocks_fn(strategy, params, rounds)
+    args = (sks_dev, eks, jnp.asarray(block_cts))
+    t0 = time.time()
+    out = enc_fn(*args)
+    out.block_until_ready()
+    t_first = time.time() - t0
+    print(f"[bench] blocks first run (incl compile) {t_first:.1f}s", file=sys.stderr)
+
+    # steady-state timing
+    t0 = time.time()
+    out = enc_fn(*args)
+    out.block_until_ready()
+    t_steady = time.time() - t0
+    blocks_per_s = n_blocks / t_steady
+    print(f"[bench] steady {t_steady:.2f}s -> {blocks_per_s:.4f} blocks/s",
+          file=sys.stderr)
+
+    # verify correctness (10-round only)
+    if rounds == 10:
+        got = fhe_encryption.decrypt_blocks(client, np.asarray(out))
+        expect = aes_lib.encrypt_blocks(key, blocks_clear)
+        ok = got == expect
+        print(f"[bench] verification vs AES authority: {ok}", file=sys.stderr)
+        if not ok:
+            print(json.dumps({"metric": "fhe_aes128_ctr_blocks_per_s",
+                              "value": 0.0, "unit": "blocks/s",
+                              "vs_baseline": 0.0, "error": "verify_failed"}))
+            return 1
+
+    print(json.dumps({
+        "metric": "fhe_aes128_ctr_blocks_per_s",
+        "value": round(blocks_per_s, 5),
+        "unit": "blocks/s",
+        "vs_baseline": round(blocks_per_s / BASELINE_BLOCKS_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,67 @@
+"""Client/server AES-CTR scenario driver (reference main.rs:97-159).
+
+Per block the plaintext is IV(8 bytes) ‖ big-endian counter(8 bytes), counter
+starting at 1 (main.rs:108-115). The client FHE-encrypts key and counter
+blocks; the server (TPU) expands the key and runs all rounds under FHE in one
+compiled program; the client decrypts and the result is asserted against the
+independent AES authority (main.rs:123-127).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tfhe_aes2_tpu.aes_128 import aes_lib, fhe as fhe_mod, fhe_encryption
+from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
+from tfhe_aes2_tpu.ops.keys import ClientKey
+
+log = logging.getLogger("tfhe_aes2_tpu")
+
+
+def ctr_blocks(iv: bytes, count: int) -> list[bytes]:
+    """iv ‖ counter blocks, counter = 1..count (main.rs:108-115)."""
+    assert len(iv) == 8
+    return [iv + int(c).to_bytes(8, "big") for c in range(1, count + 1)]
+
+
+def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
+                                   key_clear: bytes, iv: bytes,
+                                   block_count: int,
+                                   strategy=fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt,
+                                   verify: bool = True):
+    """Returns (decrypted blocks, timings dict)."""
+    # Client side: FHE encrypt AES key and CTR blocks
+    key_ct = fhe_encryption.encrypt_byte_array(client, key_clear)
+    blocks_clear = ctr_blocks(iv, block_count)
+    block_cts = fhe_encryption.encrypt_blocks(client, blocks_clear)
+    log.info("aes key and blocks fhe encrypted")
+
+    # Server side: key expansion (timed separately, main.rs:130-139)
+    ks_fn = fhe_mod.make_key_schedule_fn(strategy, client.params)
+    t0 = time.time()
+    eks = ks_fn(ctx.sks, jnp.asarray(key_ct))
+    eks.block_until_ready()
+    t_expand = time.time() - t0
+    print(f"AES key expansion took: {t_expand:.3f}s")
+
+    # Server side: block encryption (main.rs:141-159)
+    enc_fn = fhe_mod.make_encrypt_blocks_fn(strategy, client.params, 10)
+    t0 = time.time()
+    out = enc_fn(ctx.sks, eks, jnp.asarray(block_cts))
+    out.block_until_ready()
+    t_blocks = time.time() - t0
+    print(f"AES of #{block_count} outputs computed in: {t_blocks:.3f}s "
+          f"({block_count / t_blocks:.4f} blocks/s)")
+
+    # Client side: decrypt and verify against the independent AES authority
+    decrypted = fhe_encryption.decrypt_blocks(client, np.asarray(out))
+    if verify:
+        expect = aes_lib.encrypt_blocks(key_clear, blocks_clear)
+        assert decrypted == expect, "FHE AES output mismatch vs AES authority"
+    return decrypted, {"key_expansion_s": t_expand, "blocks_s": t_blocks,
+                       "blocks_per_s": block_count / t_blocks}

@@ -1,0 +1,52 @@
+"""CLI mirroring the reference binary (src/bin/main.rs:29-39).
+
+    python -m tfhe_aes2_tpu.cli --key <hex16> --iv <hex8> --number-of-outputs N
+        [--implementation shortint-woppbs-1bit] [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tfhe_aes2_tpu")
+    ap.add_argument("--number-of-outputs", type=int, required=True)
+    ap.add_argument("--iv", type=str, required=True, help="8-byte hex IV")
+    ap.add_argument("--key", type=str, required=True, help="16-byte hex AES key")
+    ap.add_argument("--implementation", type=str, default="shortint-woppbs-1bit",
+                    choices=["shortint-woppbs-1bit", "shortint-woppbs-8bit",
+                             "shortint-1bit"])
+    ap.add_argument("--seed", type=int, default=0, help="key generation seed")
+    ap.add_argument("--log-level", type=str, default="INFO")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=args.log_level,
+                        format="%(asctime)s %(levelname)s %(name)s %(message)s")
+    print(f"using implementation: {args.implementation}")
+
+    key = bytes.fromhex(args.key)
+    iv = bytes.fromhex(args.iv)
+    if len(key) != 16:
+        ap.error("invalid key length, must be 16 bytes")
+    if len(iv) != 8:
+        ap.error("invalid iv length, must be 8 bytes")
+
+    if args.implementation != "shortint-woppbs-1bit":
+        ap.error(f"implementation {args.implementation} not yet available in "
+                 "this build; use shortint-woppbs-1bit")
+
+    from tfhe_aes2_tpu.aes_128.scenario import run_client_server_aes_scenario
+    from tfhe_aes2_tpu.models import shortint_woppbs_1bit as model
+
+    print("generating keys (sqrd_lvl_64)...")
+    client, ctx = model.generate_keys_sqrd_lvl_64(seed=args.seed)
+    run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs)
+    print("ok: FHE keystream verified against AES authority")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
