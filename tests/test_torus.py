@@ -37,6 +37,22 @@ def test_split_int32_roundtrip():
         np.testing.assert_array_equal(recon, d.astype(np.int64))
 
 
+def test_exact_matmul_i8_path_matches_python_ints():
+    """The TPU int8 limb-plane lowering, exercised explicitly on CPU."""
+    from tfhe_aes2_tpu.ops.torus import _exact_matmul_i8
+    rng = np.random.default_rng(9)
+    b_, k_, o_ = 3, 29, 7
+    bound = 1 << 14
+    d = rng.integers(-bound, bound + 1, (b_, k_), dtype=np.int32)
+    m = rng.integers(0, 1 << 64, (k_, o_), dtype=np.uint64)
+    out = np.asarray(_exact_matmul_i8(jnp.asarray(d), jnp.asarray(m), bound,
+                                      "bk,ko->bo", k_))
+    for b in range(b_):
+        for o in range(o_):
+            acc = sum(int(d[b, kk]) * int(m[kk, o]) for kk in range(k_))
+            assert int(out[b, o]) == acc % (1 << 64)
+
+
 def test_exact_matmul_matches_python_ints():
     rng = np.random.default_rng(3)
     b_, k_, o_ = 5, 37, 11

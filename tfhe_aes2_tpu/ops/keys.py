@@ -119,16 +119,29 @@ def _wrap_matmul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class _GlweEncryptor:
-    """Vectorized GLWE encryption under S using a precomputed negacirculant."""
+    """Vectorized GLWE encryption under binary S.
+
+    Body = Σ_u A_u ⊛ S_u computed exactly as four f64 BLAS GEMMs: A is split
+    into 16-bit limb planes and multiplied against the signed negacirculant of
+    S (entries in {-1, 0, 1}), so every product sum stays below
+    2^16·k·N « 2^53.
+    """
 
     def __init__(self, params: WopbsParams, glwe_sk: np.ndarray,
                  rng: np.random.Generator):
         self.params = params
         self.rng = rng
         k, n = glwe_sk.shape
-        # stacked NC so that Σ_u A_u ⊛ S_u = A.reshape(-1, k·N) @ nc_stack
-        self.nc_stack = np.concatenate(
-            [_nc_matrix_np(glwe_sk[u]) for u in range(k)], axis=0)  # [kN, N]
+        # signed NC stack [kN, N] f64 with entries in {-1, 0, 1}
+        blocks = []
+        j = np.arange(n)[:, None]
+        m = np.arange(n)[None, :]
+        idx = (m - j) % (2 * n)
+        for u in range(k):
+            ext = np.concatenate([glwe_sk[u].astype(np.int64),
+                                  -glwe_sk[u].astype(np.int64)])
+            blocks.append(ext[idx].astype(np.float64))
+        self.nc_signed = np.concatenate(blocks, axis=0)  # [kN, N]
 
     def encrypt_zero(self, rows: int, noise_std: float):
         """-> (A [rows, k, N], B [rows, N])"""
@@ -136,8 +149,19 @@ class _GlweEncryptor:
         k, n = p.glwe_dimension, p.polynomial_size
         a = _uniform_u64(self.rng, (rows, k, n))
         e = _gaussian_u64(self.rng, noise_std, (rows, n))
+        a2 = a.reshape(rows, k * n)
+        b = e.copy()
+        chunk = 2048  # bound the f64 limb-plane temporaries (~32 MB each)
+        plane = np.empty((chunk, k * n), dtype=np.float64)
         with np.errstate(over="ignore"):
-            b = _wrap_matmul(a.reshape(rows, k * n), self.nc_stack) + e
+            for lo in range(0, rows, chunk):
+                hi = min(lo + chunk, rows)
+                pl = plane[: hi - lo]
+                for limb in range(4):
+                    np.copyto(pl, (a2[lo:hi] >> np.uint64(16 * limb))
+                              & np.uint64(0xFFFF), casting="unsafe")
+                    coeff = np.rint(pl @ self.nc_signed).astype(np.int64).astype(np.uint64)
+                    b[lo:hi] += coeff << np.uint64(16 * limb)
         return a, b
 
 
