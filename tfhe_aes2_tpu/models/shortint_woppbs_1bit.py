@@ -168,8 +168,19 @@ class BitCt:
     def concat_lanes(parts: list["BitCt"], axis: int = 0) -> "BitCt":
         n_lane = len(parts[0].lane_shape)
         axis = axis % n_lane
-        arr_axis = parts[0].array.ndim - 1 - n_lane + axis
-        return BitCt(jnp.concatenate([p.array for p in parts], axis=arr_axis),
+        # broadcast leading batch axes so trivial (batchless) parts can join
+        # batched states
+        max_ndim = max(p.array.ndim for p in parts)
+        arrays = []
+        for p in parts:
+            a = p.array
+            if a.ndim < max_ndim:
+                batch = next(q.array.shape[: max_ndim - a.ndim]
+                             for q in parts if q.array.ndim == max_ndim)
+                a = jnp.broadcast_to(a, batch + a.shape)
+            arrays.append(a)
+        arr_axis = max_ndim - 1 - n_lane + axis
+        return BitCt(jnp.concatenate(arrays, axis=arr_axis),
                      np.concatenate([p.noise_sq for p in parts], axis=axis),
                      np.concatenate([p.comps for p in parts], axis=axis),
                      parts[0].context)
