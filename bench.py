@@ -58,29 +58,30 @@ def main() -> int:
     key_ct = fhe_encryption.encrypt_byte_array(client, key)
     block_cts = fhe_encryption.encrypt_blocks(client, blocks_clear)
 
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
     strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+    ctx = FheContext(params=params, sks=sks_dev)
 
-    # key expansion (compiled separately, timed separately — main.rs:130-139)
-    ks_fn = fhe_mod.make_key_schedule_fn(strategy, params)
+    # key expansion (timed separately — main.rs:130-139)
     t0 = time.time()
-    eks = ks_fn(sks_dev, jnp.asarray(key_ct))
-    eks.block_until_ready()
+    eks = fhe_mod.key_schedule_eager(strategy, ctx, jnp.asarray(key_ct))
+    eks.array.block_until_ready()
     t_expand = time.time() - t0
     print(f"[bench] key expansion (incl compile) {t_expand:.1f}s", file=sys.stderr)
 
-    enc_fn = fhe_mod.make_encrypt_blocks_fn(strategy, params, rounds)
-    args = (sks_dev, eks, jnp.asarray(block_cts))
+    blocks_dev = jnp.asarray(block_cts)
     t0 = time.time()
-    out = enc_fn(*args)
-    out.block_until_ready()
+    out = fhe_mod.encrypt_blocks_eager(strategy, ctx, eks, blocks_dev, rounds)
+    out.array.block_until_ready()
     t_first = time.time() - t0
     print(f"[bench] blocks first run (incl compile) {t_first:.1f}s", file=sys.stderr)
 
     # steady-state timing
     t0 = time.time()
-    out = enc_fn(*args)
-    out.block_until_ready()
+    out = fhe_mod.encrypt_blocks_eager(strategy, ctx, eks, blocks_dev, rounds)
+    out.array.block_until_ready()
     t_steady = time.time() - t0
+    out = out.array
     blocks_per_s = n_blocks / t_steady
     print(f"[bench] steady {t_steady:.2f}s -> {blocks_per_s:.4f} blocks/s",
           file=sys.stderr)

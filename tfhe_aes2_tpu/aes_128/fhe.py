@@ -69,6 +69,21 @@ def make_full_aes_fn(strategy, params, rounds: int = 10):
     return jax.jit(partial(_run_full, strategy.pipeline, params, rounds))
 
 
+def key_schedule_eager(strategy, ctx, key_arr):
+    """Eager-orchestrated FHE key expansion: the 44 sequential words reuse a
+    handful of per-shape compiled circuit-bootstrap kernels instead of one
+    monolithic 44-scan XLA program."""
+    key = fresh_bitct(key_arr, ctx, lane_ndim=2)
+    return strategy.pipeline.key_schedule(ctx, key)
+
+
+def encrypt_blocks_eager(strategy, ctx, eks, blocks_arr, rounds: int):
+    """Eager-orchestrated AES rounds; `eks` is the BitCt from
+    key_schedule_eager (or fresh-wrapped arrays for a clear schedule)."""
+    blocks = fresh_bitct(blocks_arr, ctx, lane_ndim=2)
+    return strategy.pipeline.encrypt_block_for_rounds(ctx, eks, blocks, rounds)
+
+
 def make_key_schedule_fn(strategy, params):
     """Jitted (sks, key_cts [16,8,n1]) -> expanded key [44,4,8,n1]."""
     def fn(sks, key_arr):

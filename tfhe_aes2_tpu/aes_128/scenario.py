@@ -42,19 +42,19 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
     log.info("aes key and blocks fhe encrypted")
 
     # Server side: key expansion (timed separately, main.rs:130-139)
-    ks_fn = fhe_mod.make_key_schedule_fn(strategy, client.params)
     t0 = time.time()
-    eks = ks_fn(ctx.sks, jnp.asarray(key_ct))
-    eks.block_until_ready()
+    eks = fhe_mod.key_schedule_eager(strategy, ctx, jnp.asarray(key_ct))
+    eks.array.block_until_ready()
     t_expand = time.time() - t0
     print(f"AES key expansion took: {t_expand:.3f}s")
 
     # Server side: block encryption (main.rs:141-159)
-    enc_fn = fhe_mod.make_encrypt_blocks_fn(strategy, client.params, 10)
     t0 = time.time()
-    out = enc_fn(ctx.sks, eks, jnp.asarray(block_cts))
-    out.block_until_ready()
+    out = fhe_mod.encrypt_blocks_eager(strategy, ctx, eks,
+                                       jnp.asarray(block_cts), 10)
+    out.array.block_until_ready()
     t_blocks = time.time() - t0
+    out = out.array
     print(f"AES of #{block_count} outputs computed in: {t_blocks:.3f}s "
           f"({block_count / t_blocks:.4f} blocks/s)")
 

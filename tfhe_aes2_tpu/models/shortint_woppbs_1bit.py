@@ -64,10 +64,20 @@ def _empty_ids(shape) -> np.ndarray:
 @dataclass
 class FheContext:
     """Server-side evaluation context (reference FheContext,
-    shortint_woppbs_1bit.rs:166-179)."""
+    shortint_woppbs_1bit.rs:166-179).
+
+    Outside a jit trace, `circuit_bootstrap` dispatches through a cache of
+    per-shape compiled kernels (one XLA program per distinct (T, O, P) LUT
+    geometry, reused for every round / key-schedule word) — keeping programs
+    small enough to compile fast while the cheap XOR/gather glue runs eagerly.
+    Inside a trace it inlines, so whole-step jits still work.
+    """
 
     params: WopbsParams
     sks: keys_mod.ServerKeySet  # device arrays (or tracers inside jit)
+
+    def __post_init__(self):
+        self._cbs_kernel_cache = {}
 
     def trivial_bits(self, bits) -> "BitCt":
         """Trivial (noiseless) ciphertexts of `bits` (ContextT::trivial)."""
@@ -92,8 +102,17 @@ class FheContext:
         """
         t = bits.array.shape[-2]
         o = lut.shape[0]
-        out = cbs_ops.circuit_bootstrap_vertical_packing(
-            bits.array, jnp.asarray(lut), self.sks, self.params)
+        if isinstance(bits.array, jax.core.Tracer):
+            out = cbs_ops.circuit_bootstrap_vertical_packing(
+                bits.array, jnp.asarray(lut), self.sks, self.params)
+        else:
+            key = (bits.array.shape, lut.shape)
+            if key not in self._cbs_kernel_cache:
+                self._cbs_kernel_cache[key] = jax.jit(
+                    lambda sks, b, l: cbs_ops.circuit_bootstrap_vertical_packing(
+                        b, l, sks, self.params))
+            out = self._cbs_kernel_cache[key](self.sks, bits.array,
+                                              jnp.asarray(lut))
         lane_shape = bits.lane_shape[:-1] + (o,)
         return BitCt(out, np.full(lane_shape, t, np.int64),
                      _fresh_ids(lane_shape), self)
