@@ -64,22 +64,22 @@ def main() -> int:
 
     # key expansion (timed separately — main.rs:130-139)
     t0 = time.time()
-    eks = fhe_mod.key_schedule_eager(strategy, ctx, jnp.asarray(key_ct))
-    eks.array.block_until_ready()
+    eks = fhe_mod.key_schedule_staged(strategy, ctx, jnp.asarray(key_ct))
+    np.asarray(eks.array)
     t_expand = time.time() - t0
     print(f"[bench] key expansion (incl compile) {t_expand:.1f}s", file=sys.stderr)
 
     blocks_dev = jnp.asarray(block_cts)
     t0 = time.time()
-    out = fhe_mod.encrypt_blocks_eager(strategy, ctx, eks, blocks_dev, rounds)
-    out.array.block_until_ready()
+    out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_dev, rounds)
+    np.asarray(out.array)  # materialize on host: tunnel-safe sync
     t_first = time.time() - t0
     print(f"[bench] blocks first run (incl compile) {t_first:.1f}s", file=sys.stderr)
 
     # steady-state timing
     t0 = time.time()
-    out = fhe_mod.encrypt_blocks_eager(strategy, ctx, eks, blocks_dev, rounds)
-    out.array.block_until_ready()
+    out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_dev, rounds)
+    np.asarray(out.array)  # materialize on host
     t_steady = time.time() - t0
     out = out.array
     blocks_per_s = n_blocks / t_steady

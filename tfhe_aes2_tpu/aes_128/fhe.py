@@ -1,10 +1,10 @@
-"""FHE AES-128 strategies + jitted server entry points.
+"""FHE AES-128 strategies + server entry points.
 
 Mirrors the reference's `Aes128Encrypt` strategy types
-(fhe_impls/shortint_woppbs_1bit.rs:61,131): each strategy binds a round
-pipeline to the shortint_woppbs_1bit model. The server computation (key
-schedule + all rounds over the block batch) compiles to ONE XLA program; the
-BitCt noise/independence bookkeeping runs at trace time.
+(fhe_impls/*): each strategy binds a round pipeline to an FHE model. Two
+execution modes: whole-program jit (tests, graft entry) and eager
+orchestration with per-shape compiled bootstrap kernels (production — bounds
+XLA program size; see FheContext.circuit_bootstrap).
 """
 
 from __future__ import annotations
@@ -15,8 +15,8 @@ import jax
 import numpy as np
 
 from tfhe_aes2_tpu.aes_128 import sbox_gal_mul_pbs, sbox_pbs
-from tfhe_aes2_tpu.models.shortint_woppbs_1bit import (
-    FheContext, fresh_bitct)
+from tfhe_aes2_tpu.models import shortint_woppbs_1bit as m1
+from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext, fresh_bitct
 
 
 class ShortintWoppbs1BitSboxGalMulPbsAesEncrypt:
@@ -24,31 +24,73 @@ class ShortintWoppbs1BitSboxGalMulPbsAesEncrypt:
     fhe_sbox_gal_mul_pbs (the reference's submitted solution, README.md:9-11)."""
 
     pipeline = sbox_gal_mul_pbs
+    make_context = staticmethod(FheContext)
+
+    @staticmethod
+    def make_ops(ctx):
+        return None  # pipeline B is 1-bit-model-specific
+
+    fresh = staticmethod(fresh_bitct)
 
 
 class ShortintWoppbs1BitSboxPbsAesEncrypt:
     """Model shortint_woppbs_1bit + pipeline fhe_sbox_pbs (leveled Galois
-    multiplication; kept for parity — its noise components are not independent,
-    matching the reference's ignored tests,
-    fhe_impls/shortint_woppbs_1bit.rs:160-174)."""
+    multiplication, depth-11; pairs with the sqrd_lvl_256 parameters)."""
+
+    pipeline = sbox_pbs
+    make_context = staticmethod(FheContext)
+
+    @staticmethod
+    def make_ops(ctx):
+        return sbox_pbs.Woppbs1BitByteOps(ctx)
+
+    fresh = staticmethod(fresh_bitct)
+
+
+class ShortintWoppbs8BitSboxPbsAesEncrypt:
+    """Model shortint_woppbs_8bit + pipeline fhe_sbox_pbs: SBOX on single
+    8-bit ciphertexts, XOR on extracted 1-bit duals
+    (fhe_impls/shortint_woppbs_8bit.rs:44-94)."""
 
     pipeline = sbox_pbs
 
+    @staticmethod
+    def make_context(params, sks):
+        from tfhe_aes2_tpu.models import shortint_woppbs_8bit as m8
+        return m8.FheContext(params, sks)
 
-def _run_with_clear_schedule(pipeline, params, rounds, sks, ks_arr, blocks_arr):
-    ctx = FheContext(params, sks)
-    eks = fresh_bitct(ks_arr, ctx, lane_ndim=3)        # [44, 4, 8] lanes
-    blocks = fresh_bitct(blocks_arr, ctx, lane_ndim=2)  # batch + [16, 8]
-    out = pipeline.encrypt_block_for_rounds(ctx, eks, blocks, rounds)
+    @staticmethod
+    def make_ops(ctx):
+        from tfhe_aes2_tpu.models.shortint_woppbs_8bit import Woppbs8BitByteOps
+        return Woppbs8BitByteOps(ctx)
+
+    @staticmethod
+    def fresh(arrays, ctx, lane_ndim=None):
+        from tfhe_aes2_tpu.models.shortint_woppbs_8bit import fresh_linear_bitct
+        return fresh_linear_bitct(arrays, ctx)
+
+
+def _pipeline_kwargs(strategy, ctx):
+    ops = strategy.make_ops(ctx)
+    return {} if ops is None else {"ops": ops}
+
+
+def _run_with_clear_schedule(strategy, params, rounds, sks, ks_arr, blocks_arr):
+    ctx = strategy.make_context(params, sks)
+    eks = strategy.fresh(ks_arr, ctx, lane_ndim=3)        # [44, 4, 8] lanes
+    blocks = strategy.fresh(blocks_arr, ctx, lane_ndim=2)  # batch + [16, 8]
+    out = strategy.pipeline.encrypt_block_for_rounds(
+        ctx, eks, blocks, rounds, **_pipeline_kwargs(strategy, ctx))
     return out.array
 
 
-def _run_full(pipeline, params, rounds, sks, key_arr, blocks_arr):
-    ctx = FheContext(params, sks)
-    key = fresh_bitct(key_arr, ctx, lane_ndim=2)        # [16, 8] lanes
-    blocks = fresh_bitct(blocks_arr, ctx, lane_ndim=2)
-    eks = pipeline.key_schedule(ctx, key)
-    out = pipeline.encrypt_block_for_rounds(ctx, eks, blocks, rounds)
+def _run_full(strategy, params, rounds, sks, key_arr, blocks_arr):
+    ctx = strategy.make_context(params, sks)
+    key = strategy.fresh(key_arr, ctx, lane_ndim=2)        # [16, 8] lanes
+    blocks = strategy.fresh(blocks_arr, ctx, lane_ndim=2)
+    kw = _pipeline_kwargs(strategy, ctx)
+    eks = strategy.pipeline.key_schedule(ctx, key, **kw)
+    out = strategy.pipeline.encrypt_block_for_rounds(ctx, eks, blocks, rounds, **kw)
     return out.array
 
 
@@ -57,8 +99,7 @@ def make_encrypt_blocks_fn(strategy, params, rounds: int):
 
     The key schedule is supplied encrypted (test_light path,
     test_helper.rs:94-120)."""
-    return jax.jit(partial(_run_with_clear_schedule, strategy.pipeline, params,
-                           rounds))
+    return jax.jit(partial(_run_with_clear_schedule, strategy, params, rounds))
 
 
 def make_full_aes_fn(strategy, params, rounds: int = 10):
@@ -66,22 +107,133 @@ def make_full_aes_fn(strategy, params, rounds: int = 10):
 
     FHE key expansion + block encryption in one XLA program (the reference's
     expand_key + encrypt_blocks, main.rs:119-120)."""
-    return jax.jit(partial(_run_full, strategy.pipeline, params, rounds))
+    return jax.jit(partial(_run_full, strategy, params, rounds))
 
 
 def key_schedule_eager(strategy, ctx, key_arr):
     """Eager-orchestrated FHE key expansion: the 44 sequential words reuse a
     handful of per-shape compiled circuit-bootstrap kernels instead of one
     monolithic 44-scan XLA program."""
-    key = fresh_bitct(key_arr, ctx, lane_ndim=2)
-    return strategy.pipeline.key_schedule(ctx, key)
+    key = strategy.fresh(key_arr, ctx, lane_ndim=2)
+    return strategy.pipeline.key_schedule(ctx, key,
+                                          **_pipeline_kwargs(strategy, ctx))
 
 
 def encrypt_blocks_eager(strategy, ctx, eks, blocks_arr, rounds: int):
     """Eager-orchestrated AES rounds; `eks` is the BitCt from
     key_schedule_eager (or fresh-wrapped arrays for a clear schedule)."""
-    blocks = fresh_bitct(blocks_arr, ctx, lane_ndim=2)
-    return strategy.pipeline.encrypt_block_for_rounds(ctx, eks, blocks, rounds)
+    blocks = strategy.fresh(blocks_arr, ctx, lane_ndim=2)
+    return strategy.pipeline.encrypt_block_for_rounds(
+        ctx, eks, blocks, rounds, **_pipeline_kwargs(strategy, ctx))
+
+
+# ---------------- staged execution (round-level jit kernels) ----------------
+# One compiled program per round *type*, reused across rounds and key-schedule
+# words: ~6 small XLA programs and ~55 device dispatches per batch instead of
+# one monolithic 51-scan program or hundreds of eager ops. This is the
+# production path for remote/tunneled accelerators.
+
+def _kernel(ctx, key, make):
+    cache = ctx._cbs_kernel_cache if hasattr(ctx, "_cbs_kernel_cache") else ctx._kernel_cache
+    if key not in cache:
+        cache[key] = make()
+    return cache[key]
+
+
+def _staged_round(strategy, params, final, sks, state_arr, key_arr):
+    ctx = strategy.make_context(params, sks)
+    state = strategy.fresh(state_arr, ctx, lane_ndim=2)
+    key_group = strategy.fresh(key_arr, ctx, lane_ndim=2)
+    fn = strategy.pipeline.final_round if final else strategy.pipeline.middle_round
+    ops = strategy.make_ops(ctx)
+    kw = {} if ops is None else {"ops": ops}
+    return fn(ctx, state, key_group, **kw).array
+
+
+def _staged_ks_sub(strategy, params, sks, w_im4, w_im1, rc_bits):
+    """i%4==0 key-schedule word: rot+subword, xor w[i-4], xor RC, boot."""
+    import numpy as _np
+    from tfhe_aes2_tpu.aes_128 import data_model as dm
+    from tfhe_aes2_tpu.ops import lwe as lwe_ops
+
+    ctx = strategy.make_context(params, sks)
+    ops = strategy.make_ops(ctx)
+    pipeline = strategy.pipeline
+    wm4 = strategy.fresh(w_im4, ctx, lane_ndim=2)
+    wm1 = strategy.fresh(w_im1, ctx, lane_ndim=2)
+    rot = wm1.take_lanes(_np.array([1, 2, 3, 0]), axis=0)
+    if ops is not None:
+        sub = ops.sub_bytes(rot)
+    else:
+        sub = pipeline.sub_bytes(ctx, rot)
+    w = wm4 ^ sub
+    # RC constant: trivial ct built from the traced rc bits
+    rc_arr = lwe_ops.trivial_bits(rc_bits, w.array.shape[-1] - 1)
+    w_arr = w.array.at[..., 0, :, :].add(rc_arr)
+    w = type(w)(w_arr, w.noise_sq, w.comps, ctx)
+    if ops is not None:
+        return ops.boot(w).array
+    return pipeline.boot_word(ctx, w).array
+
+
+def _staged_ks_plain(strategy, params, sks, w_im4, w_im1):
+    ctx = strategy.make_context(params, sks)
+    ops = strategy.make_ops(ctx)
+    pipeline = strategy.pipeline
+    wm4 = strategy.fresh(w_im4, ctx, lane_ndim=2)
+    wm1 = strategy.fresh(w_im1, ctx, lane_ndim=2)
+    w = wm4 ^ wm1
+    if ops is not None:
+        return ops.boot(w).array
+    return pipeline.boot_word(ctx, w).array
+
+
+def key_schedule_staged(strategy, ctx, key_arr):
+    """FHE key expansion via two reused compiled kernels (sub-word step and
+    plain step), 40 sequential dispatches."""
+    import jax.numpy as jnp
+    import numpy as np_
+    from tfhe_aes2_tpu.aes_128 import RC
+
+    params = ctx.params
+    sub_fn = _kernel(ctx, "ks_sub", lambda: jax.jit(
+        partial(_staged_ks_sub, strategy, params)))
+    plain_fn = _kernel(ctx, "ks_plain", lambda: jax.jit(
+        partial(_staged_ks_plain, strategy, params)))
+
+    key_arr = jnp.asarray(key_arr)
+    words = [key_arr[4 * i: 4 * i + 4] for i in range(4)]
+    for i in range(4, 44):
+        if i % 4 == 0:
+            rc_bits = jnp.asarray(
+                np_.unpackbits(np_.array([RC[i // 4]], np_.uint8)))
+            w = sub_fn(ctx.sks, words[i - 4], words[i - 1], rc_bits)
+        else:
+            w = plain_fn(ctx.sks, words[i - 4], words[i - 1])
+        words.append(w)
+    eks_arr = jnp.stack(words, axis=0)
+    return strategy.fresh(eks_arr, ctx, lane_ndim=3)
+
+
+def encrypt_blocks_staged(strategy, ctx, eks, blocks_arr, rounds: int):
+    """AES rounds via two reused compiled round kernels (middle/final)."""
+    import jax.numpy as jnp
+    from tfhe_aes2_tpu.aes_128 import data_model as dm
+
+    params = ctx.params
+    mid_fn = _kernel(ctx, ("round_mid", jnp.shape(blocks_arr)), lambda: jax.jit(
+        partial(_staged_round, strategy, params, False)))
+    fin_fn = _kernel(ctx, ("round_fin", jnp.shape(blocks_arr)), lambda: jax.jit(
+        partial(_staged_round, strategy, params, True)))
+
+    eks_arr = eks.array if hasattr(eks, "array") else jnp.asarray(eks)
+    kg = lambda i: eks_arr[4 * i: 4 * i + 4].reshape((16, 8) + eks_arr.shape[-1:])
+
+    state = jnp.asarray(blocks_arr) + kg(0)  # AddRoundKey (one eager add)
+    for i in range(1, rounds):
+        state = mid_fn(ctx.sks, state, kg(i))
+    state = fin_fn(ctx.sks, state, kg(10))
+    return strategy.fresh(state, ctx, lane_ndim=2)
 
 
 def make_key_schedule_fn(strategy, params):
@@ -89,5 +241,6 @@ def make_key_schedule_fn(strategy, params):
     def fn(sks, key_arr):
         ctx = FheContext(params, sks)
         key = fresh_bitct(key_arr, ctx, lane_ndim=2)
-        return strategy.pipeline.key_schedule(ctx, key).array
+        return strategy.pipeline.key_schedule(
+            ctx, key, **_pipeline_kwargs(strategy, ctx)).array
     return jax.jit(fn)

@@ -75,6 +75,21 @@ def boot_word(ctx: FheContext, word: BitCt) -> BitCt:
     return booted.reshape_lanes(*word.lane_shape)
 
 
+def middle_round(ctx: FheContext, state: BitCt, key_group: BitCt,
+                 ops=None) -> BitCt:
+    """One full round: SubBytes+GalMul bootstrap, ShiftRows x3, MixColumns
+    (pure XOR), AddRoundKey (fhe_sbox_gal_mul_pbs.rs:101-118)."""
+    muls = sub_bytes_with_gal_mul(ctx, state)
+    muls = tuple(dm.shift_rows(m) for m in muls)
+    return mix_columns(muls) ^ key_group
+
+
+def final_round(ctx: FheContext, state: BitCt, key_group: BitCt,
+                ops=None) -> BitCt:
+    """SubBytes, ShiftRows, AddRoundKey (fhe_sbox_gal_mul_pbs.rs:120-129)."""
+    return dm.shift_rows(sub_bytes(ctx, state)) ^ key_group
+
+
 def encrypt_block_for_rounds(ctx: FheContext, expanded_key: BitCt,
                              blocks: BitCt, rounds: int) -> BitCt:
     """FHE AES rounds on a batch of blocks (fhe_sbox_gal_mul_pbs.rs:84-132).
@@ -83,18 +98,10 @@ def encrypt_block_for_rounds(ctx: FheContext, expanded_key: BitCt,
     leading batch axes.
     """
     state = blocks ^ dm.key_word_group(expanded_key, 0)
-
     for i in range(1, rounds):
-        muls = sub_bytes_with_gal_mul(ctx, state)
-        muls = tuple(dm.shift_rows(m) for m in muls)
-        state = mix_columns(muls)
-        state = state ^ dm.key_word_group(expanded_key, i)
-
-    state = sub_bytes(ctx, state)
-    state = dm.shift_rows(state)
+        state = middle_round(ctx, state, dm.key_word_group(expanded_key, i))
     # final-round key is always words 40..44 (fhe_sbox_gal_mul_pbs.rs:126-129)
-    state = state ^ dm.key_word_group(expanded_key, 10)
-    return state
+    return final_round(ctx, state, dm.key_word_group(expanded_key, 10))
 
 
 def key_schedule(ctx: FheContext, key: BitCt) -> BitCt:

@@ -43,15 +43,15 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
 
     # Server side: key expansion (timed separately, main.rs:130-139)
     t0 = time.time()
-    eks = fhe_mod.key_schedule_eager(strategy, ctx, jnp.asarray(key_ct))
+    eks = fhe_mod.key_schedule_staged(strategy, ctx, jnp.asarray(key_ct))
     eks.array.block_until_ready()
     t_expand = time.time() - t0
     print(f"AES key expansion took: {t_expand:.3f}s")
 
     # Server side: block encryption (main.rs:141-159)
     t0 = time.time()
-    out = fhe_mod.encrypt_blocks_eager(strategy, ctx, eks,
-                                       jnp.asarray(block_cts), 10)
+    out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks,
+                                        jnp.asarray(block_cts), 10)
     out.array.block_until_ready()
     t_blocks = time.time() - t0
     out = out.array

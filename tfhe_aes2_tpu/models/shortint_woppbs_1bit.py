@@ -161,15 +161,15 @@ class BitCt:
         n_lane = len(self.lane_shape)
         axis = axis % n_lane
         arr_axis = self.array.ndim - 1 - n_lane + axis
-        return BitCt(jnp.take(self.array, jnp.asarray(idx), axis=arr_axis),
-                     np.take(self.noise_sq, idx, axis=axis),
-                     np.take(self.comps, idx, axis=axis), self.context)
+        return type(self)(jnp.take(self.array, jnp.asarray(idx), axis=arr_axis),
+                          np.take(self.noise_sq, idx, axis=axis),
+                          np.take(self.comps, idx, axis=axis), self.context)
 
     def reshape_lanes(self, *lane_shape) -> "BitCt":
         batch = self.array.shape[: self.array.ndim - 1 - len(self.lane_shape)]
         arr = self.array.reshape(batch + tuple(lane_shape) + self.array.shape[-1:])
-        return BitCt(arr, self.noise_sq.reshape(lane_shape),
-                     self.comps.reshape(lane_shape), self.context)
+        return type(self)(arr, self.noise_sq.reshape(lane_shape),
+                          self.comps.reshape(lane_shape), self.context)
 
     def slice_lanes(self, sl, axis: int = 0) -> "BitCt":
         """Slice one lane axis with python slice `sl`."""
@@ -180,11 +180,12 @@ class BitCt:
         indexer[arr_axis] = sl
         meta_idx = [slice(None)] * n_lane
         meta_idx[axis] = sl
-        return BitCt(self.array[tuple(indexer)], self.noise_sq[tuple(meta_idx)],
-                     self.comps[tuple(meta_idx)], self.context)
+        return type(self)(self.array[tuple(indexer)],
+                          self.noise_sq[tuple(meta_idx)],
+                          self.comps[tuple(meta_idx)], self.context)
 
-    @staticmethod
-    def concat_lanes(parts: list["BitCt"], axis: int = 0) -> "BitCt":
+    @classmethod
+    def concat_lanes(cls, parts: list["BitCt"], axis: int = 0) -> "BitCt":
         n_lane = len(parts[0].lane_shape)
         axis = axis % n_lane
         # broadcast leading batch axes so trivial (batchless) parts can join
@@ -199,10 +200,10 @@ class BitCt:
                 a = jnp.broadcast_to(a, batch + a.shape)
             arrays.append(a)
         arr_axis = max_ndim - 1 - n_lane + axis
-        return BitCt(jnp.concatenate(arrays, axis=arr_axis),
-                     np.concatenate([p.noise_sq for p in parts], axis=axis),
-                     np.concatenate([p.comps for p in parts], axis=axis),
-                     parts[0].context)
+        return cls(jnp.concatenate(arrays, axis=arr_axis),
+                   np.concatenate([p.noise_sq for p in parts], axis=axis),
+                   np.concatenate([p.comps for p in parts], axis=axis),
+                   parts[0].context)
 
 
 def fresh_bitct(arrays, context: FheContext, lane_ndim: int | None = None) -> BitCt:

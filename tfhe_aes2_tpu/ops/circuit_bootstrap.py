@@ -33,9 +33,15 @@ def circuit_bootstrap_bits(bits_big, sks: ServerKeySet, params: WopbsParams):
     shortint_woppbs_1bit.rs:339-363), then per cbs level a scaling PBS, then
     k+1 pfKS to assemble the GGSW rows.
     """
-    p = params
-    dual = ks.keyswitch(bits_big, sks.ksk, p)                      # [..., n+1]
+    dual = ks.keyswitch(bits_big, sks.ksk, params)                 # [..., n+1]
+    return circuit_bootstrap_bits_small(dual, sks, params)
 
+
+def circuit_bootstrap_bits_small(dual, sks: ServerKeySet, params: WopbsParams):
+    """Like circuit_bootstrap_bits but for bits already under the small key
+    (the 8-bit model feeds extracted bits directly,
+    shortint_woppbs_8bit.rs:299-335)."""
+    p = params
     rows_per_level = []
     for j in range(p.cbs_level):
         target_log = p.cbs_base_log * (j + 1)

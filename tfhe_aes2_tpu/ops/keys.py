@@ -83,6 +83,32 @@ class ClientKey:
         cts = np.asarray(cts, dtype=np.uint64)
         return cts[..., -1] - _wrap_dot(cts[..., :-1], self.big_sk)
 
+    # -- small-key variants (the 8-bit model encrypts bits under the small
+    #    LWE key, shortint_woppbs_8bit.rs:206-232) --
+
+    def encrypt_bits_small(self, bits) -> np.ndarray:
+        bits = np.asarray(bits, dtype=np.uint64)
+        n = self.params.lwe_dimension
+        a = _uniform_u64(self.rng, bits.shape + (n,))
+        e = _gaussian_u64(self.rng, self.params.lwe_noise_std, bits.shape)
+        b = _wrap_dot(a, self.lwe_sk) + (bits << np.uint64(63)) + e
+        return np.concatenate([a, b[..., None]], axis=-1)
+
+    def decrypt_bits_small(self, cts) -> np.ndarray:
+        cts = np.asarray(cts, dtype=np.uint64)
+        phase = cts[..., -1] - _wrap_dot(cts[..., :-1], self.lwe_sk)
+        return ((phase + np.uint64(1 << 62)) >> np.uint64(63)) & np.uint64(1)
+
+    def encrypt_encodings_big(self, encodings) -> np.ndarray:
+        """Encrypt raw torus encodings [...] under the big key (used for the
+        8-bit model's full-width ciphertexts, message at 2^(64-8))."""
+        encodings = np.asarray(encodings, dtype=np.uint64)
+        n = self.params.big_lwe_dimension
+        a = _uniform_u64(self.rng, encodings.shape + (n,))
+        e = _gaussian_u64(self.rng, self.params.lwe_noise_std, encodings.shape)
+        b = _wrap_dot(a, self.big_sk) + encodings + e
+        return np.concatenate([a, b[..., None]], axis=-1)
+
 
 # ---------------------------------------------------------------- helpers
 

@@ -30,6 +30,9 @@ class WopbsParams:
     pfks_base_log: int
     pfks_noise_std: float
     max_noise_level_squared: int
+    # 8-bit model extras (shortint_woppbs_8bit.rs:39-86)
+    message_bits: int = 1       # log2(message_modulus)
+    max_noise_level_linear: int = 0  # linear NoiseLevel budget (0 = unused)
 
     @property
     def glwe_size(self) -> int:
@@ -109,6 +112,43 @@ PARAMS_SQRD_LVL_256 = WopbsParams(
     max_noise_level_squared=256,
 )
 
+
+# reference shortint_woppbs_8bit.rs:39-86 — the 8-bit model (message modulus
+# 256, optimizer cost 12143 ≈ 67x the 1-bit lvl64 set; kept for capability
+# parity, outperformed by the 1-bit model per README.md:77-78)
+PARAMS_WOPPBS_8BIT = WopbsParams(
+    lwe_dimension=785,
+    glwe_dimension=2,
+    polynomial_size=1024,
+    lwe_noise_std=1.5140301927925663e-5,
+    glwe_noise_std=2.2148688116005568e-16,
+    pbs_level=6, pbs_base_log=7,
+    ks_level=8, ks_base_log=2,
+    cbs_level=4, cbs_base_log=6,
+    pfks_level=3, pfks_base_log=12,
+    pfks_noise_std=2.2148688116005568e-16,
+    max_noise_level_squared=0,
+    message_bits=8,
+    max_noise_level_linear=11,
+)
+
+# Small 8-bit-model test set (insecure): N >= 256 so an 8-bit LUT fits in one
+# polynomial; tiny noise for deterministic CPU tests.
+PARAMS_TEST_8BIT = WopbsParams(
+    lwe_dimension=32,
+    glwe_dimension=1,
+    polynomial_size=256,
+    lwe_noise_std=2.0 ** -30,
+    glwe_noise_std=2.0 ** -45,
+    pbs_level=3, pbs_base_log=12,
+    ks_level=3, ks_base_log=5,
+    cbs_level=2, cbs_base_log=9,
+    pfks_level=2, pfks_base_log=16,
+    pfks_noise_std=2.0 ** -45,
+    max_noise_level_squared=0,
+    message_bits=8,
+    max_noise_level_linear=11,
+)
 
 # !Testing parameters! — NOT secure, sized for fast CPU unit tests (same role
 # as the reference's flagged test PARAMS, shortint_1bit.rs:62-83). Noise is
