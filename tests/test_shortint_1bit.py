@@ -1,0 +1,92 @@
+"""shortint_1bit tree-PBS model tests (mirror shortint_1bit.rs:592-738)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_aes2_tpu.models import shortint_1bit as m1b
+from tfhe_aes2_tpu.models.shortint_1bit import PARAMS_TEST_S1
+
+
+@pytest.fixture(scope="module")
+def keys_s1():
+    return m1b.generate_keys(PARAMS_TEST_S1, seed=17)
+
+
+def _encrypt_bits(client, ctx, bits):
+    enc = np.asarray(bits, np.uint64) << np.uint64(62)
+    return m1b.Bit1Ct(jnp.asarray(client.encrypt_encodings_small(enc)), ctx)
+
+
+def _decrypt_bits(client, ct):
+    phase = client.decrypt_phase_small(np.asarray(ct.array))
+    return ((phase + np.uint64(1 << 61)) >> np.uint64(62)) & np.uint64(1)
+
+
+def test_encrypt_decrypt_xor(keys_s1):
+    client, ctx = keys_s1
+    a = _encrypt_bits(client, ctx, [0, 1, 1, 0])
+    b = _encrypt_bits(client, ctx, [0, 1, 0, 1])
+    np.testing.assert_array_equal(_decrypt_bits(client, a), [0, 1, 1, 0])
+    out = a ^ b
+    np.testing.assert_array_equal(_decrypt_bits(client, out), [0, 0, 1, 1])
+    # double-XOR (carry into the padding bit) still decodes after the
+    # negacyclic projection: re-bootstrap with identity
+    out2 = out ^ _encrypt_bits(client, ctx, [1, 1, 1, 1])
+    tv = ctx.test_vector_from_cleartext_fn(lambda b: b)
+    boot = ctx.bootstrap(out2, tv)
+    np.testing.assert_array_equal(_decrypt_bits(client, boot), [1, 1, 0, 0])
+
+
+def test_bootstrap_identity_and_not(keys_s1):
+    client, ctx = keys_s1
+    a = _encrypt_bits(client, ctx, [0, 1])
+    tv_id = ctx.test_vector_from_cleartext_fn(lambda b: b)
+    tv_not = ctx.test_vector_from_cleartext_fn(lambda b: 1 - b)
+    np.testing.assert_array_equal(_decrypt_bits(client, ctx.bootstrap(a, tv_id)), [0, 1])
+    np.testing.assert_array_equal(_decrypt_bits(client, ctx.bootstrap(a, tv_not)), [1, 0])
+
+
+def test_packing_keyswitch_roundtrip(keys_s1):
+    """Pack two bits, blind-rotate-free check: decrypt the GLWE phase
+    (shortint_1bit.rs:592-ish packing tests)."""
+    client, ctx = keys_s1
+    bits = _encrypt_bits(client, ctx, [1, 0])
+    glwe = np.asarray(ctx.packing_keyswitch(bits))
+    # decrypt GLWE phase via numpy
+    k, n = client.glwe_sk.shape
+    acc = glwe[-1].copy()
+    with np.errstate(over="ignore"):
+        for u in range(k):
+            s = client.glwe_sk[u]
+            ext = np.concatenate([s, np.uint64(0) - s])
+            jj = np.arange(n)[:, None]
+            mm = np.arange(n)[None, :]
+            acc -= glwe[u] @ ext[(mm - jj) % (2 * n)]
+    b0 = ((acc[0] + np.uint64(1 << 61)) >> np.uint64(62)) & np.uint64(1)
+    b1 = ((acc[1] + np.uint64(1 << 61)) >> np.uint64(62)) & np.uint64(1)
+    assert (int(b0), int(b1)) == (1, 0)
+
+
+@pytest.mark.parametrize("bits,word", [(2, 0b10), (2, 0b01), (3, 0b101), (3, 0b010)])
+def test_tree_pbs_small(keys_s1, bits, word):
+    client, ctx = keys_s1
+    f = lambda v: (v * 3 + 1) % 2  # arbitrary 1-bit function
+    tvs = m1b.generate_multivariate_test_vector(ctx, bits, f)
+    bct = _encrypt_bits(client, ctx, [(word >> (bits - 1 - i)) & 1 for i in range(bits)])
+    out = m1b.calculate_multivariate_function(ctx, bct, tvs)
+    assert int(_decrypt_bits(client, m1b.Bit1Ct(out.array[None], ctx))[0]) == f(word)
+
+
+def test_tree_pbs_8bit_sbox_bit(keys_s1):
+    """One SBOX output bit via an 8-bit tree (255 bootstraps), the per-bit
+    unit of the reference's shortint_1bit AES binding
+    (fhe_impls/shortint_1bit.rs:30-47)."""
+    from tfhe_aes2_tpu.aes_128 import SBOX
+    client, ctx = keys_s1
+    byte = 0x3A
+    f = lambda v: (int(SBOX[v]) >> 7) & 1  # MSB of SBOX output
+    tvs = m1b.generate_multivariate_test_vector(ctx, 8, f)
+    bct = _encrypt_bits(client, ctx, [(byte >> (7 - i)) & 1 for i in range(8)])
+    out = m1b.calculate_multivariate_function(ctx, bct, tvs)
+    assert int(_decrypt_bits(client, m1b.Bit1Ct(out.array[None], ctx))[0]) == f(byte)

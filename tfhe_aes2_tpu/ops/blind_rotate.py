@@ -76,13 +76,12 @@ def cmux_grouped(ggsw_rows, ct0, ct1, base_log: int, levels: int,
         ggsw_rows, diff, base_log, levels, group_ndim)
 
 
-def blind_rotate(lwe, bsk, test_poly, params: WopbsParams):
-    """Rotate `test_poly` by the (mod-switched) phase of `lwe` under encryption.
+def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams):
+    """Blind-rotate an arbitrary GLWE accumulator by the phase of `lwe`.
 
-    lwe:       [..., n+1] u64 (under the small key)
-    bsk:       [n, L, k+1, k+1, N] u64
-    test_poly: [..., N] u64 (body of the trivial accumulator; broadcastable)
-    returns:   GLWE [..., k+1, N]
+    lwe:      [..., n+1] u64 (under the small key)
+    bsk:      [n, L, k+1, k+1, N] u64
+    acc_glwe: [..., k+1, N] u64 (possibly encrypted; broadcastable over batch)
     """
     p = params
     n, logn = p.polynomial_size, p.log2_poly_size
@@ -92,11 +91,9 @@ def blind_rotate(lwe, bsk, test_poly, params: WopbsParams):
     a_tilde = mod_switch(lwe[..., :-1], logn)             # [..., n_lwe]
     b_tilde = mod_switch(lwe[..., -1], logn)              # [...]
 
-    test_poly = jnp.broadcast_to(jnp.asarray(test_poly, U64), batch_shape + (n,))
-    body = polynomial.monomial_mul(test_poly, (2 * n - b_tilde) % (2 * n))
-    acc = jnp.concatenate(
-        [jnp.zeros(batch_shape + (p.glwe_dimension, n), dtype=U64), body[..., None, :]],
-        axis=-2)                                          # [..., k+1, N]
+    acc = jnp.broadcast_to(jnp.asarray(acc_glwe, U64),
+                           batch_shape + (p.glwe_dimension + 1, n))
+    acc = polynomial.monomial_mul(acc, ((2 * n - b_tilde) % (2 * n))[..., None])
 
     bsk_rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64)) # [n_lwe, R, k+1, N]
     a_steps = jnp.moveaxis(a_tilde, -1, 0)                # [n_lwe, ...]
@@ -109,6 +106,24 @@ def blind_rotate(lwe, bsk, test_poly, params: WopbsParams):
 
     acc, _ = jax.lax.scan(step, acc, (bsk_rows, a_steps))
     return acc
+
+
+def blind_rotate(lwe, bsk, test_poly, params: WopbsParams):
+    """Rotate the clear `test_poly` (trivial accumulator) by the phase of
+    `lwe` under encryption.
+
+    lwe:       [..., n+1] u64 (under the small key)
+    bsk:       [n, L, k+1, k+1, N] u64
+    test_poly: [..., N] u64 (body of the trivial accumulator; broadcastable)
+    returns:   GLWE [..., k+1, N]
+    """
+    p = params
+    n = p.polynomial_size
+    test_poly = jnp.asarray(test_poly, U64)
+    acc = jnp.concatenate(
+        [jnp.zeros(test_poly.shape[:-1] + (p.glwe_dimension, n), dtype=U64),
+         test_poly[..., None, :]], axis=-2)
+    return blind_rotate_glwe(lwe, bsk, acc, params)
 
 
 def sample_extract0(glwe):

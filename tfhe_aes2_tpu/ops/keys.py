@@ -40,11 +40,15 @@ class ServerKeySet(NamedTuple):
     ksk:     [kN, ks_level, n+1] u64 — LWE_s(s'_i · g_l)
     pfpksk:  [k+1(fn u), kN+1(pos), pfks_level, k+1(component), N] u64
              pos i<kN: GLWE_S(s'_i · f_u(g_l)); pos kN: GLWE_S(f_u(g_l))
+    pksk:    [n, ks_level, k+1, N] u64 — GLWE_S(s_i · g_l) (LWE->GLWE packing
+             keyswitch key, for the shortint_1bit tree-PBS model,
+             shortint_1bit.rs:179-190)
     """
 
     bsk: np.ndarray
     ksk: np.ndarray
     pfpksk: np.ndarray
+    pksk: np.ndarray
 
 
 @dataclass
@@ -98,6 +102,20 @@ class ClientKey:
         cts = np.asarray(cts, dtype=np.uint64)
         phase = cts[..., -1] - _wrap_dot(cts[..., :-1], self.lwe_sk)
         return ((phase + np.uint64(1 << 62)) >> np.uint64(63)) & np.uint64(1)
+
+    def encrypt_encodings_small(self, encodings) -> np.ndarray:
+        """Encrypt raw torus encodings [...] under the small key (the
+        shortint_1bit model encodes bits at 2^62, shortint_1bit.rs:352-356)."""
+        encodings = np.asarray(encodings, dtype=np.uint64)
+        n = self.params.lwe_dimension
+        a = _uniform_u64(self.rng, encodings.shape + (n,))
+        e = _gaussian_u64(self.rng, self.params.lwe_noise_std, encodings.shape)
+        b = _wrap_dot(a, self.lwe_sk) + encodings + e
+        return np.concatenate([a, b[..., None]], axis=-1)
+
+    def decrypt_phase_small(self, cts) -> np.ndarray:
+        cts = np.asarray(cts, dtype=np.uint64)
+        return cts[..., -1] - _wrap_dot(cts[..., :-1], self.lwe_sk)
 
     def encrypt_encodings_big(self, encodings) -> np.ndarray:
         """Encrypt raw torus encodings [...] under the big key (used for the
@@ -246,4 +264,13 @@ def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, Server
                     # f_k(x) = x : constant poly s'_i·g_l
                     pfpksk[u, :, l, k, 0] += s_ext * g
 
-    return client, ServerKeySet(bsk=bsk, ksk=ksk, pfpksk=pfpksk)
+    # ---- PKSK: GLWE_S(s_i · g_l) for LWE->GLWE packing keyswitch ----
+    rows = n * Lk
+    a, b = enc.encrypt_zero(rows, p.lwe_noise_std)
+    pksk = np.concatenate([a, b[:, None, :]], axis=1).reshape(n, Lk, k1, N)
+    with np.errstate(over="ignore"):
+        for l in range(Lk):
+            g = np.uint64(1 << (64 - p.ks_base_log * (l + 1)))
+            pksk[:, l, k, 0] += lwe_sk * g
+
+    return client, ServerKeySet(bsk=bsk, ksk=ksk, pfpksk=pfpksk, pksk=pksk)
