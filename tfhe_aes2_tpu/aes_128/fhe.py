@@ -26,6 +26,22 @@ class ShortintWoppbs1BitSboxGalMulPbsAesEncrypt:
     pipeline = sbox_gal_mul_pbs
     make_context = staticmethod(FheContext)
 
+    # client-side codecs (big-key bit encryption, fhe_encryption.rs)
+    @staticmethod
+    def encrypt_client(client, data_bytes_list):
+        from tfhe_aes2_tpu.aes_128 import fhe_encryption
+        return fhe_encryption.encrypt_blocks(client, data_bytes_list)
+
+    @staticmethod
+    def encrypt_key_client(client, key):
+        from tfhe_aes2_tpu.aes_128 import fhe_encryption
+        return fhe_encryption.encrypt_byte_array(client, key)
+
+    @staticmethod
+    def decrypt_client(client, arrays):
+        from tfhe_aes2_tpu.aes_128 import fhe_encryption
+        return fhe_encryption.decrypt_blocks(client, arrays)
+
     @staticmethod
     def make_ops(ctx):
         return None  # pipeline B is 1-bit-model-specific
@@ -58,6 +74,26 @@ class ShortintWoppbs8BitSboxPbsAesEncrypt:
     def make_context(params, sks):
         from tfhe_aes2_tpu.models import shortint_woppbs_8bit as m8
         return m8.FheContext(params, sks)
+
+    # client-side codecs: bits live under the SMALL key in this model
+    @staticmethod
+    def encrypt_client(client, data_bytes_list):
+        import numpy as np_
+        arr = np_.stack([np_.frombuffer(bytes(b), np_.uint8) for b in data_bytes_list])
+        bits = np_.unpackbits(arr[..., None], axis=-1)
+        return client.encrypt_bits_small(bits)
+
+    @staticmethod
+    def encrypt_key_client(client, key):
+        import numpy as np_
+        bits = np_.unpackbits(np_.frombuffer(bytes(key), np_.uint8)[..., None], axis=-1)
+        return client.encrypt_bits_small(bits)
+
+    @staticmethod
+    def decrypt_client(client, arrays):
+        import numpy as np_
+        bits = client.decrypt_bits_small(np_.asarray(arrays)).astype(np_.uint8)
+        return [row.tobytes() for row in np_.packbits(bits, axis=-1)[..., 0]]
 
     @staticmethod
     def make_ops(ctx):

@@ -36,9 +36,9 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
                                    verify: bool = True):
     """Returns (decrypted blocks, timings dict)."""
     # Client side: FHE encrypt AES key and CTR blocks
-    key_ct = fhe_encryption.encrypt_byte_array(client, key_clear)
+    key_ct = strategy.encrypt_key_client(client, key_clear)
     blocks_clear = ctr_blocks(iv, block_count)
-    block_cts = fhe_encryption.encrypt_blocks(client, blocks_clear)
+    block_cts = strategy.encrypt_client(client, blocks_clear)
     log.info("aes key and blocks fhe encrypted")
 
     # Server side: key expansion (timed separately, main.rs:130-139)
@@ -59,7 +59,7 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
           f"({block_count / t_blocks:.4f} blocks/s)")
 
     # Client side: decrypt and verify against the independent AES authority
-    decrypted = fhe_encryption.decrypt_blocks(client, np.asarray(out))
+    decrypted = strategy.decrypt_client(client, np.asarray(out))
     if verify:
         expect = aes_lib.encrypt_blocks(key_clear, blocks_clear)
         assert decrypted == expect, "FHE AES output mismatch vs AES authority"

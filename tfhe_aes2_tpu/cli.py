@@ -34,16 +34,26 @@ def main(argv=None) -> int:
     if len(iv) != 8:
         ap.error("invalid iv length, must be 8 bytes")
 
-    if args.implementation != "shortint-woppbs-1bit":
-        ap.error(f"implementation {args.implementation} not yet available in "
-                 "this build; use shortint-woppbs-1bit")
-
+    from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
     from tfhe_aes2_tpu.aes_128.scenario import run_client_server_aes_scenario
-    from tfhe_aes2_tpu.models import shortint_woppbs_1bit as model
 
-    print("generating keys (sqrd_lvl_64)...")
-    client, ctx = model.generate_keys_sqrd_lvl_64(seed=args.seed)
-    run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs)
+    if args.implementation == "shortint-woppbs-1bit":
+        from tfhe_aes2_tpu.models import shortint_woppbs_1bit as model
+        print("generating keys (sqrd_lvl_64)...")
+        client, ctx = model.generate_keys_sqrd_lvl_64(seed=args.seed)
+        strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+    elif args.implementation == "shortint-woppbs-8bit":
+        from tfhe_aes2_tpu.models import shortint_woppbs_8bit as model
+        print("generating keys (woppbs 8bit)...")
+        client, ctx = model.generate_keys(seed=args.seed)
+        strategy = fhe_mod.ShortintWoppbs8BitSboxPbsAesEncrypt
+    else:
+        ap.error("shortint-1bit is exposed for primitives only: its AES "
+                 "binding accumulates too much noise (the reference ignores "
+                 "those tests for the same reason, fhe_impls/shortint_1bit.rs:81-83)")
+
+    run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs,
+                                   strategy=strategy)
     print("ok: FHE keystream verified against AES authority")
     return 0
 
