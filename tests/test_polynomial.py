@@ -65,6 +65,49 @@ def test_polymul_digits_shared():
             np.testing.assert_array_equal(got[b, oo], expect)
 
 
+def test_polymul_digits_conv_matches_shared():
+    """The conv-formulated TPU hot path vs the negacirculant matmul path."""
+    rng = np.random.default_rng(11)
+    n, r, o, batch = 32, 6, 3, 5
+    bound = 1 << 11
+    digits = rng.integers(-bound, bound + 1, (batch, r, n), dtype=np.int32)
+    polys = rng.integers(0, 1 << 64, (r, o, n), dtype=np.uint64)
+    expect = np.asarray(polynomial.polymul_digits_shared(
+        jnp.asarray(digits), jnp.asarray(polys), bound))
+    planes = polynomial.split_polys_for_conv(jnp.asarray(polys))
+    got = np.asarray(polynomial.polymul_digits_conv(
+        jnp.asarray(digits), planes, bound))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_blind_rotate_conv_path(keys_test):
+    """Conv-lowered PBS decrypts identically to the matmul lowering."""
+    import jax
+    from tfhe_aes2_tpu.ops import blind_rotate as br
+    client, sks = keys_test
+    p = client.params
+    import jax.numpy as jnp2
+    sks_dev = jax.tree_util.tree_map(jnp2.asarray, sks)
+    from tfhe_aes2_tpu.ops import keyswitch as ksw
+    bits = np.array([0, 1, 1, 0])
+    cts = client.encrypt_bits(bits)
+    dual = ksw.keyswitch(jnp.asarray(cts), sks_dev.ksk, p)
+    tv = jnp.full((p.polynomial_size,),
+                  jnp.uint64((1 << 64) - (1 << (64 - p.cbs_base_log - 1))))
+    shifted = jnp.asarray(dual).at[..., -1].add(jnp.uint64(1 << 62))
+    acc_mm = br.blind_rotate(shifted, sks_dev.bsk, tv, p)
+    acc_cv = None
+    # force the conv path explicitly (CPU default is matmul)
+    acc_body = jnp.concatenate(
+        [jnp.zeros((p.glwe_dimension, p.polynomial_size), dtype=jnp.uint64),
+         tv[None]], axis=0)
+    acc_cv = br.blind_rotate_glwe(shifted, sks_dev.bsk, acc_body, p,
+                                  use_conv=True)
+    out_mm = np.asarray(br.sample_extract0(acc_mm))
+    out_cv = np.asarray(br.sample_extract0(acc_cv))
+    np.testing.assert_array_equal(out_mm, out_cv)
+
+
 def test_polymul_digits_batched():
     rng = np.random.default_rng(8)
     n, r, o, batch = 8, 2, 2, 3

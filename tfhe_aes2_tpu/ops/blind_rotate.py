@@ -76,15 +76,44 @@ def cmux_grouped(ggsw_rows, ct0, ct1, base_log: int, levels: int,
         ggsw_rows, diff, base_log, levels, group_ndim)
 
 
-def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams):
+def external_product_conv(kernel_planes, glwe, base_log: int, levels: int):
+    """Conv-formulated external product (GGSW shared across the batch).
+
+    kernel_planes: [8, k+1, R, N] int8 from polynomial.split_polys_for_conv.
+    glwe:          [..., k+1, N] u64.
+    """
+    digits = decompose_glwe(glwe, base_log, levels)       # [..., R, N]
+    batch = digits.shape[:-2]
+    out = polynomial.polymul_digits_conv(
+        digits.reshape((-1,) + digits.shape[-2:]), kernel_planes,
+        decomposition.digit_bound(base_log))
+    return out.reshape(batch + out.shape[-2:])
+
+
+def cmux_conv(kernel_planes, ct0, ct1, base_log: int, levels: int):
+    diff = jnp.asarray(ct1, U64) - jnp.asarray(ct0, U64)
+    return jnp.asarray(ct0, U64) + external_product_conv(
+        kernel_planes, diff, base_log, levels)
+
+
+def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
+                      use_conv: bool | None = None):
     """Blind-rotate an arbitrary GLWE accumulator by the phase of `lwe`.
 
     lwe:      [..., n+1] u64 (under the small key)
     bsk:      [n, L, k+1, k+1, N] u64
     acc_glwe: [..., k+1, N] u64 (possibly encrypted; broadcastable over batch)
+
+    Two CMux lowerings: `use_conv=True` (default off-CPU) pre-splits the BSK
+    into int8 limb planes once and runs each external product as int8 MXU
+    convolutions — the hot loop never touches emulated u64 except for the
+    accumulator adds. The matmul path (CPU) materializes negacirculants and
+    contracts via exact f64 GEMMs.
     """
     p = params
     n, logn = p.polynomial_size, p.log2_poly_size
+    if use_conv is None:
+        use_conv = jax.default_backend() != "cpu"
     lwe = jnp.asarray(lwe, U64)
     batch_shape = lwe.shape[:-1]
 
@@ -97,6 +126,18 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams):
 
     bsk_rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64)) # [n_lwe, R, k+1, N]
     a_steps = jnp.moveaxis(a_tilde, -1, 0)                # [n_lwe, ...]
+
+    if use_conv:
+        bsk_planes = jax.vmap(polynomial.split_polys_for_conv)(bsk_rows)
+
+        def step(acc, xs):
+            planes_i, a_i = xs
+            rotated = polynomial.monomial_mul(acc, a_i[..., None])
+            acc = cmux_conv(planes_i, acc, rotated, p.pbs_base_log, p.pbs_level)
+            return acc, None
+
+        acc, _ = jax.lax.scan(step, acc, (bsk_planes, a_steps))
+        return acc
 
     def step(acc, xs):
         rows_i, a_i = xs

@@ -112,3 +112,61 @@ def polymul_digits_grouped(digits, polys, d_bound: int, group_ndim: int = 0):
 def polymul_digits_batched(digits, polys, d_bound: int):
     """digits [..., R, N], polys [..., R, O, N] (same batch) -> [..., O, N]."""
     return polymul_digits_grouped(digits, polys, d_bound, group_ndim=0)
+
+
+# ---------------- convolution formulation (TPU hot path) ----------------
+# A negacyclic product is a length-N linear convolution folded at N
+# (c[m] = lin[m] - lin[m+N]). XLA's conv primitive maps this onto the MXU
+# with int8 operands directly — no negacirculant materialization, no u64
+# in the loop. The u64 key polynomials are pre-split once into balanced
+# signed base-256 limb planes.
+
+from tfhe_aes2_tpu.ops.torus import (  # noqa: E402
+    limbs_for_bound, sext_i32_to_u64, split_int32_signed, split_u64_signed)
+
+
+def split_polys_for_conv(polys):
+    """[R, O, N] u64 -> conv kernels int8 [8, O, R, N], pre-flipped so that
+    lax.conv (a correlation) computes a true convolution."""
+    polys = jnp.asarray(polys, U64)
+    planes = split_u64_signed(polys)                    # [8, R, O, N]
+    planes = jnp.flip(jnp.moveaxis(planes, 2, 1), axis=-1)  # [8, O, R, N]
+    return planes
+
+
+def polymul_digits_conv(digits, kernel_planes, d_bound: int):
+    """Σ_r digits[..., r, :] ⊛ polys[r, o, :] via int8 convolutions.
+
+    digits:        [B, R, N] int32 gadget digits, |d| <= d_bound
+    kernel_planes: [8, O, R, N] int8 from split_polys_for_conv
+    -> [B, O, N] u64, exact mod 2^64.
+    """
+    digits = jnp.asarray(digits)
+    n = digits.shape[-1]
+    n_d = limbs_for_bound(d_bound)
+    d_planes = split_int32_signed(digits.astype(jnp.int32), n_d)  # [n_d, B, R, N]
+
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(0, 1, 2),   # [batch, feature(R), spatial]
+        rhs_spec=(0, 1, 2),   # [out(O), in(R), spatial]
+        out_spec=(0, 1, 2))
+
+    partials = {}
+    for i in range(n_d):
+        for j in range(8):
+            s = i + j
+            if s >= 8:
+                continue
+            lin = jax.lax.conv_general_dilated(
+                d_planes[i], kernel_planes[j],
+                window_strides=(1,), padding=[(n - 1, n - 1)],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.int32)       # [B, O, 2N-1]
+            partials[s] = lin if s not in partials else partials[s] + lin
+
+    out = None
+    for s, lin in partials.items():
+        fold = lin[..., :n].at[..., : n - 1].add(-lin[..., n:])
+        term = sext_i32_to_u64(fold) << jnp.uint64(8 * s)
+        out = term if out is None else out + term
+    return out
