@@ -84,14 +84,21 @@ def generate_lut(input_bits: int, output_bits: int, f, params: WopbsParams) -> n
     return lut.reshape(output_bits, p_count, n)
 
 
-def vertical_packing(ggsw, luts, params: WopbsParams):
+def vertical_packing(ggsw, luts, params: WopbsParams,
+                     use_conv: bool | None = None):
     """Evaluate the packed LUTs under the GGSW-encrypted selector bits.
 
     ggsw: [..., T, L, k+1, k+1, N] — T selector bits, MSB first.
     luts: [O, P, N] u64 cleartext LUT polynomials (shared across the batch).
     returns LWE [..., O, kN+1] — one ct per output bit.
+
+    Off-CPU the CMuxes run as grouped int8 convolutions against pre-split
+    GGSW limb planes (one kernel set per batch lane, shared by its O·P
+    accumulator group); on CPU via negacirculant f64 GEMMs.
     """
     p = params
+    if use_conv is None:
+        use_conv = jax.default_backend() != "cpu"
     ggsw = jnp.asarray(ggsw, U64)
     luts = jnp.asarray(luts, U64)
     o_bits, p_count, n = luts.shape
@@ -112,16 +119,39 @@ def vertical_packing(ggsw, luts, params: WopbsParams):
     rows = ggsw_to_rows(ggsw.reshape((-1,) + ggsw.shape[-4:]))
     rows = rows.reshape(batch + (t,) + rows.shape[-3:])            # [..., T, R, k+1, N]
 
+    if use_conv:
+        flat_rows = rows.reshape((-1,) + rows.shape[-3:])
+        planes = jax.vmap(polynomial.split_polys_for_conv)(flat_rows)
+        planes = planes.reshape(batch + (t,) + planes.shape[-4:])  # [..., T, 8, O, R, N]
+
+    def cmux_stage(bit_idx, ct0, ct1, group_ndim):
+        if not use_conv:
+            g = rows[..., bit_idx, :, :, :]
+            return br.cmux_grouped(g, ct0, ct1, p.cbs_base_log, p.cbs_level,
+                                   group_ndim=group_ndim)
+        diff = ct1 - ct0
+        digits = br.decompose_glwe(diff, p.cbs_base_log, p.cbs_level)
+        g_shape = digits.shape[len(batch): -2]
+        b_flat = 1
+        for s in batch:
+            b_flat *= s
+        g_flat = 1
+        for s in g_shape:
+            g_flat *= s
+        d4 = digits.reshape((b_flat, g_flat) + digits.shape[-2:])
+        kp = planes[..., bit_idx, :, :, :, :]
+        kp = jnp.moveaxis(kp.reshape((b_flat,) + kp.shape[len(batch):]), 1, 0)
+        from tfhe_aes2_tpu.ops import decomposition as dec
+        out = polynomial.polymul_digits_conv_grouped(
+            d4, kp, dec.digit_bound(p.cbs_base_log))
+        return ct0 + out.reshape(diff.shape)
+
     # CMux tree over the packed polynomials, consuming tree bits LSB-first
-    # (bit tree_bits-1 distinguishes adjacent polynomials). The per-lane GGSW
-    # is shared across the (O, P) group axes — group_ndim=2 keeps the
-    # negacirculant per batch element, not per lane.
+    # (bit tree_bits-1 distinguishes adjacent polynomials).
     for level in range(tree_bits):
         bit_idx = tree_bits - 1 - level
         even, odd = acc[..., 0::2, :, :], acc[..., 1::2, :, :]
-        g = rows[..., bit_idx, :, :, :]                            # [..., R, k+1, N]
-        acc = br.cmux_grouped(g, even, odd, p.cbs_base_log, p.cbs_level,
-                              group_ndim=2)
+        acc = cmux_stage(bit_idx, even, odd, group_ndim=2)
 
     acc = acc[..., 0, :, :]                                        # [..., O, k+1, N]
 
@@ -130,9 +160,7 @@ def vertical_packing(ggsw, luts, params: WopbsParams):
         bit_idx = tree_bits + j
         step = 1 << (low_bits - 1 - j)
         rotated = polynomial.monomial_mul(acc, jnp.int32(2 * n - step))
-        g = rows[..., bit_idx, :, :, :]
-        acc = br.cmux_grouped(g, acc, rotated, p.cbs_base_log, p.cbs_level,
-                              group_ndim=1)
+        acc = cmux_stage(bit_idx, acc, rotated, group_ndim=1)
 
     return br.sample_extract0(acc)                                 # [..., O, kN+1]
 

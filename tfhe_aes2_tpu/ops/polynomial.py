@@ -134,6 +134,46 @@ def split_polys_for_conv(polys):
     return planes
 
 
+def polymul_digits_conv_grouped(digits, kernel_planes, d_bound: int):
+    """Per-batch-element kernels shared over a group axis, via grouped conv.
+
+    digits:        [B, G, R, N] int32 (G lanes share batch element b's GGSW)
+    kernel_planes: [8, B, O, R, N] int8 (vmap of split_polys_for_conv)
+    -> [B, G, O, N] u64
+    """
+    digits = jnp.asarray(digits)
+    b, g, r, n = digits.shape
+    _, b2, o, r2, _ = kernel_planes.shape
+    assert (b2, r2) == (b, r)
+    n_d = limbs_for_bound(d_bound)
+    d_planes = split_int32_signed(digits.astype(jnp.int32), n_d)
+
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(0, 1, 2), rhs_spec=(0, 1, 2), out_spec=(0, 1, 2))
+
+    partials = {}
+    for i in range(n_d):
+        # lhs: [G, B·R, N]; rhs: [B·O, R, N]; groups = B
+        lhs = jnp.moveaxis(d_planes[i], 0, 1).reshape(g, b * r, n)
+        for j in range(8):
+            s = i + j
+            if s >= 8:
+                continue
+            rhs = kernel_planes[j].reshape(b * o, r, n)
+            lin = jax.lax.conv_general_dilated(
+                lhs, rhs, window_strides=(1,), padding=[(n - 1, n - 1)],
+                dimension_numbers=dn, feature_group_count=b,
+                preferred_element_type=jnp.int32)       # [G, B·O, 2N-1]
+            partials[s] = lin if s not in partials else partials[s] + lin
+
+    out = None
+    for s, lin in partials.items():
+        fold = lin[..., :n].at[..., : n - 1].add(-lin[..., n:])
+        term = sext_i32_to_u64(fold) << jnp.uint64(8 * s)
+        out = term if out is None else out + term
+    return jnp.moveaxis(out.reshape(g, b, o, n), 0, 1)   # [B, G, O, N]
+
+
 def polymul_digits_conv(digits, kernel_planes, d_bound: int):
     """Σ_r digits[..., r, :] ⊛ polys[r, o, :] via int8 convolutions.
 
