@@ -59,9 +59,11 @@ def main() -> int:
             def step(acc, a_i):
                 rot = polynomial.monomial_mul(acc, a_i[..., None])
                 d = br.decompose_glwe(rot - acc, p.pbs_base_log, p.pbs_level)
-                acc = acc + (d.astype(jnp.uint64).sum(axis=-2) if False else
-                             jnp.asarray(d.sum(axis=-2), jnp.int64).astype(jnp.uint64))
-                return acc, None
+                # cheap combine keeping shapes: fold digits back into acc
+                folded = jnp.asarray(
+                    d.reshape(d.shape[:-2] + (k1, L, N)).sum(axis=-2),
+                    jnp.int64).astype(jnp.uint64)
+                return acc + folded, None
             return jax.lax.scan(step, acc, a_steps)[0]
 
         run(f"glue b={b}", glue, acc0, a_t)

@@ -128,16 +128,34 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
     a_steps = jnp.moveaxis(a_tilde, -1, 0)                # [n_lwe, ...]
 
     if use_conv:
+        from tfhe_aes2_tpu.ops import u32pair as up
+
         bsk_planes = jax.vmap(polynomial.split_polys_for_conv)(bsk_rows)
+        bound = decomposition.digit_bound(p.pbs_base_log)
+        k1 = p.glwe_dimension + 1
+        batch_flat = 1
+        for s in batch_shape:
+            batch_flat *= s
 
-        def step(acc, xs):
+        # the whole CMux chain runs on native (lo, hi) u32 pairs — rotation
+        # gathers, gadget digit fields and carry adds are all 32-bit ops
+        acc_pair = up.from_u64(acc.reshape((batch_flat, k1, n)))
+
+        def step(acc_pair, xs):
             planes_i, a_i = xs
-            rotated = polynomial.monomial_mul(acc, a_i[..., None])
-            acc = cmux_conv(planes_i, acc, rotated, p.pbs_base_log, p.pbs_level)
-            return acc, None
+            t = a_i.reshape((batch_flat,))[:, None]
+            rot = up.monomial_mul(acc_pair, t, n)
+            diff = up.sub(rot, acc_pair)
+            digits = up.decompose(diff, p.pbs_base_log, p.pbs_level)
+            # [B, k1, N, L] -> rows r = u·L + l: [B, k1·L, N]
+            digits = jnp.moveaxis(digits, -1, -2).reshape(
+                (batch_flat, k1 * p.pbs_level, n))
+            partials = polynomial.conv_partials(digits, planes_i, bound)
+            out_pair = up.accumulate_partials(partials)
+            return up.add(acc_pair, out_pair), None
 
-        acc, _ = jax.lax.scan(step, acc, (bsk_planes, a_steps))
-        return acc
+        acc_pair, _ = jax.lax.scan(step, acc_pair, (bsk_planes, a_steps))
+        return up.to_u64(*acc_pair).reshape(batch_shape + (k1, n))
 
     def step(acc, xs):
         rows_i, a_i = xs

@@ -174,12 +174,12 @@ def polymul_digits_conv_grouped(digits, kernel_planes, d_bound: int):
     return jnp.moveaxis(out.reshape(g, b, o, n), 0, 1)   # [B, G, O, N]
 
 
-def polymul_digits_conv(digits, kernel_planes, d_bound: int):
-    """Σ_r digits[..., r, :] ⊛ polys[r, o, :] via int8 convolutions.
+def conv_partials(digits, kernel_planes, d_bound: int):
+    """int8 convolution partial sums, folded negacyclically.
 
     digits:        [B, R, N] int32 gadget digits, |d| <= d_bound
     kernel_planes: [8, O, R, N] int8 from split_polys_for_conv
-    -> [B, O, N] u64, exact mod 2^64.
+    -> {s: int32 [B, O, N]} with weight 2^(8s).
     """
     digits = jnp.asarray(digits)
     n = digits.shape[-1]
@@ -204,9 +204,15 @@ def polymul_digits_conv(digits, kernel_planes, d_bound: int):
                 preferred_element_type=jnp.int32)       # [B, O, 2N-1]
             partials[s] = lin if s not in partials else partials[s] + lin
 
+    return {s: lin[..., :n].at[..., : n - 1].add(-lin[..., n:])
+            for s, lin in partials.items()}
+
+
+def polymul_digits_conv(digits, kernel_planes, d_bound: int):
+    """Σ_r digits[..., r, :] ⊛ polys[r, o, :] via int8 convolutions
+    -> [B, O, N] u64, exact mod 2^64."""
     out = None
-    for s, lin in partials.items():
-        fold = lin[..., :n].at[..., : n - 1].add(-lin[..., n:])
+    for s, fold in conv_partials(digits, kernel_planes, d_bound).items():
         term = sext_i32_to_u64(fold) << jnp.uint64(8 * s)
         out = term if out is None else out + term
     return out
