@@ -45,17 +45,34 @@ def neg(a):
     return lo, jnp.uint32(0) - a[1] - borrow
 
 
-def monomial_mul(pair, t, n: int):
-    """X^t · p on (lo, hi) [..., N]; t int32 [...] in [0, 2N)."""
+def _shift_pow2(pair, shift: int, n: int):
+    """X^(2^k) · p for a STATIC amount `shift` (negacyclic): slice+concat+neg,
+    pure layout/vector ops."""
     lo, hi = pair
-    nlo, nhi = neg((lo, hi))
-    ext_lo = jnp.concatenate([lo, nlo], axis=-1)
-    ext_hi = jnp.concatenate([hi, nhi], axis=-1)
-    m = jnp.arange(n, dtype=jnp.int32)
-    idx = (m - jnp.asarray(t, jnp.int32)[..., None]) % (2 * n)
-    idx = jnp.broadcast_to(idx, lo.shape[:-1] + (n,))
-    return (jnp.take_along_axis(ext_lo, idx, axis=-1),
-            jnp.take_along_axis(ext_hi, idx, axis=-1))
+    if shift == n:  # X^N = -1
+        return neg(pair)
+    tail_lo, tail_hi = neg((lo[..., n - shift:], hi[..., n - shift:]))
+    return (jnp.concatenate([tail_lo, lo[..., : n - shift]], axis=-1),
+            jnp.concatenate([tail_hi, hi[..., : n - shift]], axis=-1))
+
+
+def monomial_mul(pair, t, n: int):
+    """X^t · p on (lo, hi) [..., N]; t int32 [...] (broadcastable to the
+    batch dims) in [0, 2N).
+
+    TPU gathers are scalar-bound, so the rotation is applied as a binary
+    ladder: for each bit k of t, a static negacyclic shift by 2^k followed by
+    a vectorized select — log2(2N) rounds of pure VPU work.
+    """
+    lo, hi = pair
+    t = jnp.broadcast_to(jnp.asarray(t, jnp.int32), lo.shape[:-1])
+    for k in range((2 * n).bit_length() - 1):  # bits of t < 2N
+        bit = ((t >> k) & 1).astype(jnp.bool_)[..., None]
+        s_lo, s_hi = _shift_pow2((lo, hi), (1 << k) % (2 * n), n) \
+            if (1 << k) <= n else _shift_pow2(neg((lo, hi)), (1 << k) - n, n)
+        lo = jnp.where(bit, s_lo, lo)
+        hi = jnp.where(bit, s_hi, hi)
+    return lo, hi
 
 
 def decompose(pair, base_log: int, levels: int):
