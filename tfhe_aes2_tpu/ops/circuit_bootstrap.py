@@ -159,7 +159,7 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
     for j in range(low_bits):
         bit_idx = tree_bits + j
         step = 1 << (low_bits - 1 - j)
-        rotated = polynomial.monomial_mul(acc, jnp.int32(2 * n - step))
+        rotated = polynomial.monomial_mul_static(acc, 2 * n - step)
         acc = cmux_stage(bit_idx, acc, rotated, group_ndim=1)
 
     return br.sample_extract0(acc)                                 # [..., O, kN+1]

@@ -46,6 +46,6 @@ def pack_lwe_list(lwe_list, pksk, params: WopbsParams):
     glwes = pack_lwe(lwe_list, pksk, params)          # [..., M, k+1, N]
     out = None
     for j in range(m):
-        term = polynomial.monomial_mul(glwes[..., j, :, :], jnp.int32(j))
+        term = polynomial.monomial_mul_static(glwes[..., j, :, :], j)
         out = term if out is None else out + term
     return out

@@ -47,6 +47,19 @@ def nc_matrix(polys):
     return jnp.take(ext, idx, axis=-1)
 
 
+def monomial_mul_static(polys, t: int):
+    """X^t · polys for a STATIC t — slice+concat+negate, no gather."""
+    polys = jnp.asarray(polys, U64)
+    n = polys.shape[-1]
+    t = t % (2 * n)
+    if t == 0:
+        return polys
+    if t >= n:
+        return jnp.uint64(0) - monomial_mul_static(polys, t - n)
+    head = jnp.uint64(0) - polys[..., n - t:]
+    return jnp.concatenate([head, polys[..., : n - t]], axis=-1)
+
+
 def monomial_mul(polys, t):
     """X^t * polys (negacyclic). polys [..., N] u64; t int tensor broadcastable
     to polys.shape[:-1], values in [0, 2N).
