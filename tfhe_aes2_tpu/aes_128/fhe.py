@@ -186,68 +186,40 @@ def _staged_round(strategy, params, final, sks, state_arr, key_arr):
     return fn(ctx, state, key_group, **kw).array
 
 
-def _staged_ks_sub(strategy, params, sks, w_im4, w_im1, rc_bits):
-    """i%4==0 key-schedule word: rot+subword, xor w[i-4], xor RC, boot."""
+def _staged_ks_group(strategy, params, sks, base_arr, rc_bits):
+    """One key-schedule group (4 words) from the previous group: subword +
+    xors + one batched 128-lane identity bootstrap."""
     import numpy as _np
-    from tfhe_aes2_tpu.aes_128 import data_model as dm
     from tfhe_aes2_tpu.ops import lwe as lwe_ops
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import _empty_ids
 
     ctx = strategy.make_context(params, sks)
-    ops = strategy.make_ops(ctx)
-    pipeline = strategy.pipeline
-    wm4 = strategy.fresh(w_im4, ctx, lane_ndim=2)
-    wm1 = strategy.fresh(w_im1, ctx, lane_ndim=2)
-    rot = wm1.take_lanes(_np.array([1, 2, 3, 0]), axis=0)
-    if ops is not None:
-        sub = ops.sub_bytes(rot)
-    else:
-        sub = pipeline.sub_bytes(ctx, rot)
-    w = wm4 ^ sub
-    # RC constant: trivial ct built from the traced rc bits
-    rc_arr = lwe_ops.trivial_bits(rc_bits, w.array.shape[-1] - 1)
-    w_arr = w.array.at[..., 0, :, :].add(rc_arr)
-    w = type(w)(w_arr, w.noise_sq, w.comps, ctx)
-    if ops is not None:
-        return ops.boot(w).array
-    return pipeline.boot_word(ctx, w).array
-
-
-def _staged_ks_plain(strategy, params, sks, w_im4, w_im1):
-    ctx = strategy.make_context(params, sks)
-    ops = strategy.make_ops(ctx)
-    pipeline = strategy.pipeline
-    wm4 = strategy.fresh(w_im4, ctx, lane_ndim=2)
-    wm1 = strategy.fresh(w_im1, ctx, lane_ndim=2)
-    w = wm4 ^ wm1
-    if ops is not None:
-        return ops.boot(w).array
-    return pipeline.boot_word(ctx, w).array
+    base = strategy.fresh(base_arr, ctx, lane_ndim=3)      # [4, 4, 8] lanes
+    prev = base.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
+    rc_arr = lwe_ops.trivial_bits(rc_bits, base.array.shape[-1] - 1)
+    rc = type(base)(rc_arr, _np.zeros((8,), _np.int64), _empty_ids((8,)), ctx)
+    return strategy.pipeline.key_schedule_group(ctx, base, prev, rc).array
 
 
 def key_schedule_staged(strategy, ctx, key_arr):
-    """FHE key expansion via two reused compiled kernels (sub-word step and
-    plain step), 40 sequential dispatches."""
+    """FHE key expansion via one reused compiled group kernel (10 sequential
+    dispatches of 4-word groups)."""
     import jax.numpy as jnp
     import numpy as np_
     from tfhe_aes2_tpu.aes_128 import RC
 
     params = ctx.params
-    sub_fn = _kernel(ctx, "ks_sub", lambda: jax.jit(
-        partial(_staged_ks_sub, strategy, params)))
-    plain_fn = _kernel(ctx, "ks_plain", lambda: jax.jit(
-        partial(_staged_ks_plain, strategy, params)))
+    if not hasattr(strategy.pipeline, "key_schedule_group"):
+        return key_schedule_eager(strategy, ctx, key_arr)
+    group_fn = _kernel(ctx, "ks_group", lambda: jax.jit(
+        partial(_staged_ks_group, strategy, params)))
 
     key_arr = jnp.asarray(key_arr)
-    words = [key_arr[4 * i: 4 * i + 4] for i in range(4)]
-    for i in range(4, 44):
-        if i % 4 == 0:
-            rc_bits = jnp.asarray(
-                np_.unpackbits(np_.array([RC[i // 4]], np_.uint8)))
-            w = sub_fn(ctx.sks, words[i - 4], words[i - 1], rc_bits)
-        else:
-            w = plain_fn(ctx.sks, words[i - 4], words[i - 1])
-        words.append(w)
-    eks_arr = jnp.stack(words, axis=0)
+    groups = [key_arr.reshape((4, 4) + key_arr.shape[1:])]
+    for g in range(1, 11):
+        rc_bits = jnp.asarray(np_.unpackbits(np_.array([RC[g]], np_.uint8)))
+        groups.append(group_fn(ctx.sks, groups[-1], rc_bits))
+    eks_arr = jnp.concatenate(groups, axis=0)
     return strategy.fresh(eks_arr, ctx, lane_ndim=3)
 
 

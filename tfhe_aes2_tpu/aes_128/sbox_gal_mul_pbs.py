@@ -104,24 +104,41 @@ def encrypt_block_for_rounds(ctx: FheContext, expanded_key: BitCt,
     return final_round(ctx, state, dm.key_word_group(expanded_key, 10))
 
 
+def key_schedule_group(ctx: FheContext, base: BitCt, prev: BitCt,
+                       rc_val_or_byte) -> BitCt:
+    """One group of four key-schedule words from the previous group.
+
+    base: words i-4..i (lanes [4, 4, 8], booted); prev = base's last word
+    (lanes [4, 8]); returns the next four words, identity-bootstrapped
+    together (one 128-lane batch instead of four sequential 32-lane boots —
+    noise stays <= 12 « 64, the grouping fhe_sbox_pbs.rs:150-154 uses).
+    """
+    rot = prev.take_lanes(np.array([1, 2, 3, 0]), axis=0)
+    sub = ctx.circuit_bootstrap(rot, sbox_lut(ctx))
+    w0 = base.slice_lanes(slice(0, 1), axis=0).reshape_lanes(4, 8) ^ sub
+    if isinstance(rc_val_or_byte, BitCt):
+        rc = rc_val_or_byte
+    else:
+        rc = dm.trivial_byte(ctx, int(rc_val_or_byte))
+    w0b0 = w0.slice_lanes(slice(0, 1), axis=0) ^ rc.reshape_lanes(1, 8)
+    w0 = type(w0).concat_lanes([w0b0, w0.slice_lanes(slice(1, 4), axis=0)], axis=0)
+    ws = [w0]
+    for j in range(1, 4):
+        ws.append(base.slice_lanes(slice(j, j + 1), axis=0).reshape_lanes(4, 8)
+                  ^ ws[-1])
+    group = BitCt.concat_lanes([w.reshape_lanes(1, 4, 8) for w in ws], axis=0)
+    booted = boot_word(ctx, group)  # lanes [4, 4, 8] -> 128-lane identity cbs
+    return booted
+
+
 def key_schedule(ctx: FheContext, key: BitCt) -> BitCt:
-    """FHE key expansion (fhe_sbox_gal_mul_pbs.rs:134-164).
+    """FHE key expansion (fhe_sbox_gal_mul_pbs.rs:134-164), group-batched.
 
     key: BitCt lanes [16, 8] -> expanded key BitCt lanes [44, 4, 8].
-    Each new word is bootstrapped (identity per bit) to reset noise.
     """
-    words = [key.slice_lanes(slice(4 * i, 4 * i + 4), axis=0) for i in range(4)]
-
-    for i in range(4, 44):
-        if i % 4 == 0:
-            rot = words[i - 1].take_lanes(np.array([1, 2, 3, 0]), axis=0)
-            sub = ctx.circuit_bootstrap(rot, sbox_lut(ctx))
-            w = words[i - 4] ^ sub
-            rc = dm.trivial_byte(ctx, int(RC[i // 4]))
-            w0 = w.slice_lanes(slice(0, 1), axis=0) ^ rc.reshape_lanes(1, 8)
-            w = BitCt.concat_lanes([w0, w.slice_lanes(slice(1, 4), axis=0)], axis=0)
-        else:
-            w = words[i - 4] ^ words[i - 1]
-        words.append(boot_word(ctx, w))
-
-    return BitCt.concat_lanes([w.reshape_lanes(1, 4, 8) for w in words], axis=0)
+    groups = [key.reshape_lanes(4, 4, 8)]
+    for g in range(1, 11):
+        base = groups[-1]
+        prev = base.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
+        groups.append(key_schedule_group(ctx, base, prev, int(RC[g])))
+    return BitCt.concat_lanes(groups, axis=0)
