@@ -70,7 +70,7 @@ def test_pfks_identity_function(keys_test):
     k = p.glwe_dimension
     bits = np.array([1, 0, 1])
     cts = client.encrypt_bits(bits)
-    out = np.asarray(ks.pfks(jnp.asarray(cts), jnp.asarray(sks.pfpksk[k]), p))
+    out = np.asarray(ks.pfks(jnp.asarray(cts), jnp.asarray(sks.pfpksk[:, :, k]), p))
     phase = _decrypt_glwe_phase(client, out)
     # constant coefficient should be ~ bit << 63; the rest ~ 0
     err0 = _signed(phase[..., 0] - (bits.astype(np.uint64) << np.uint64(63)))
@@ -85,7 +85,7 @@ def test_pfks_key_product_function(keys_test):
     p = client.params
     bits = np.array([1])
     cts = client.encrypt_bits(bits)
-    out = np.asarray(ks.pfks(jnp.asarray(cts), jnp.asarray(sks.pfpksk[0]), p))
+    out = np.asarray(ks.pfks(jnp.asarray(cts), jnp.asarray(sks.pfpksk[:, :, 0]), p))
     phase = _decrypt_glwe_phase(client, out)[0]
     with np.errstate(over="ignore"):
         expect = np.uint64(0) - (client.glwe_sk[0] << np.uint64(63))

@@ -46,8 +46,7 @@ def circuit_bootstrap_bits_small(dual, sks: ServerKeySet, params: WopbsParams):
     for j in range(p.cbs_level):
         target_log = p.cbs_base_log * (j + 1)
         lwe_j = br.pbs_bit_to_level(dual, sks.bsk, target_log, p)  # [..., kN+1]
-        rows_u = [ks.pfks(lwe_j, sks.pfpksk[u], p) for u in range(p.glwe_dimension + 1)]
-        rows_per_level.append(jnp.stack(rows_u, axis=-3))          # [..., k+1, k+1, N]
+        rows_per_level.append(ks.pfks_all(lwe_j, sks.pfpksk, p))   # [..., k+1, k+1, N]
     return jnp.stack(rows_per_level, axis=-4)                      # [..., L, k+1, k+1, N]
 
 

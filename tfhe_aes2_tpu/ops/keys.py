@@ -38,8 +38,10 @@ class ServerKeySet(NamedTuple):
     bsk:     [n, pbs_level, k+1(row u), k+1(component), N] u64
              row (l, u) = GLWE_enc(0) + s_i·g_l at component u
     ksk:     [kN, ks_level, n+1] u64 — LWE_s(s'_i · g_l)
-    pfpksk:  [k+1(fn u), kN+1(pos), pfks_level, k+1(component), N] u64
+    pfpksk:  [kN+1(pos), pfks_level, k+1(fn u), k+1(component), N] u64
              pos i<kN: GLWE_S(s'_i · f_u(g_l)); pos kN: GLWE_S(f_u(g_l))
+             (contraction-friendly layout: one matmul applies all k+1
+             functions at once)
     pksk:    [n, ks_level, k+1, N] u64 — GLWE_S(s_i · g_l) (LWE->GLWE packing
              keyswitch key, for the shortint_1bit tree-PBS model,
              shortint_1bit.rs:179-190)
@@ -246,11 +248,11 @@ def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, Server
             body[:, l] += big_sk * g
     ksk = np.concatenate([a, body[..., None]], axis=-1)    # [kN, Lk, n+1]
 
-    # ---- PFPKSK[u]: GLWE_S(s'_i·f_u(g_l)) with an extra row for the body ----
+    # ---- PFPKSK: GLWE_S(s'_i·f_u(g_l)) with an extra row for the body ----
     Lp = p.pfks_level
-    rows = k1 * (kN + 1) * Lp
+    rows = (kN + 1) * Lp * k1
     a, b = enc.encrypt_zero(rows, p.pfks_noise_std)
-    pfpksk = np.concatenate([a, b[:, None, :]], axis=1).reshape(k1, kN + 1, Lp, k1, N)
+    pfpksk = np.concatenate([a, b[:, None, :]], axis=1).reshape(kN + 1, Lp, k1, k1, N)
     with np.errstate(over="ignore"):
         s_ext = np.concatenate([big_sk, np.uint64([1])])   # position kN is the body (coeff 1)
         for u in range(k1):
@@ -259,10 +261,10 @@ def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, Server
                 if u < k:
                     # f_u(x) = -x·S_u : message poly = -(s'_i·g_l)·S_u
                     msg = (np.uint64(0) - (s_ext * g))[:, None] * glwe_sk[u][None, :]
-                    pfpksk[u, :, l, k, :] += msg
+                    pfpksk[:, l, u, k, :] += msg
                 else:
                     # f_k(x) = x : constant poly s'_i·g_l
-                    pfpksk[u, :, l, k, 0] += s_ext * g
+                    pfpksk[:, l, u, k, 0] += s_ext * g
 
     # ---- PKSK: GLWE_S(s_i · g_l) for LWE->GLWE packing keyswitch ----
     rows = n * Lk

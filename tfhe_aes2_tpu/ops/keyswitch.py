@@ -48,10 +48,20 @@ def pfks(lwe_big, pfpksk_u, params: WopbsParams):
     pfpksk_u: [kN+1, L, k+1, N] for one function f_u.
     out = Σ_l dec(b)_l·K[kN, l] - Σ_{i,l} dec(a_i)_l·K[i, l]  = GLWE(f_u(m)).
     """
+    return pfks_all(lwe_big, pfpksk_u[:, :, None], params)[..., 0, :, :]
+
+
+def pfks_all(lwe_big, pfpksk, params: WopbsParams):
+    """Apply all k+1 circuit-bootstrap functions in one contraction.
+
+    pfpksk: [kN+1, L, U, k+1, N] -> GLWEs [..., U, k+1, N].
+    The gadget decomposition runs once; the U functions share one matmul
+    (the reference applies the pfKSs serially per GGSW column).
+    """
     p = params
     lwe_big = jnp.asarray(lwe_big, U64)
-    pfpksk_u = jnp.asarray(pfpksk_u, U64)
-    kn1, levels, k1, n = pfpksk_u.shape
+    pfpksk = jnp.asarray(pfpksk, U64)
+    kn1, levels, u_cnt, k1, n = pfpksk.shape
 
     digits = decomposition.decompose(lwe_big, p.pfks_base_log, p.pfks_level)
     # negate the mask digits, keep the body digit
@@ -61,7 +71,7 @@ def pfks(lwe_big, pfpksk_u, params: WopbsParams):
 
     batch = digits.shape[:-2]
     d2 = digits.reshape((-1, kn1 * levels))
-    m2 = pfpksk_u.reshape((kn1 * levels, k1 * n))
+    m2 = pfpksk.reshape((kn1 * levels, u_cnt * k1 * n))
     out = exact_matmul(d2, m2, decomposition.digit_bound(p.pfks_base_log),
                        max_k=kn1 * levels)
-    return out.reshape(batch + (k1, n))
+    return out.reshape(batch + (u_cnt, k1, n))
