@@ -108,6 +108,30 @@ def test_blind_rotate_conv_path(keys_test):
     np.testing.assert_array_equal(out_mm, out_cv)
 
 
+def test_pallas_extprod_matches_shared():
+    """The Pallas VMEM-negacirculant kernel (interpret mode) vs the
+    reference matmul lowering."""
+    import jax
+    from tfhe_aes2_tpu.ops.pallas import extprod
+    from tfhe_aes2_tpu.ops import torus, u32pair as up
+
+    rng = np.random.default_rng(12)
+    n, r, o, batch = 64, 4, 2, 8
+    bound = 1 << 11
+    digits = rng.integers(-bound, bound + 1, (batch, r, n), dtype=np.int32)
+    polys = rng.integers(0, 1 << 64, (r, o, n), dtype=np.uint64)
+
+    expect = np.asarray(polynomial.polymul_digits_shared(
+        jnp.asarray(digits), jnp.asarray(polys), bound))
+
+    d_planes = torus.split_int32_signed(jnp.asarray(digits), 2)
+    ext_planes = extprod.split_polys_for_pallas(jnp.asarray(polys))
+    partials = extprod.extprod_partials(d_planes, ext_planes, interpret=True)
+    pdict = {s: partials[s] for s in range(8)}
+    got = np.asarray(up.to_u64(*up.accumulate_partials(pdict)))
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_polymul_digits_batched():
     rng = np.random.default_rng(8)
     n, r, o, batch = 8, 2, 2, 3

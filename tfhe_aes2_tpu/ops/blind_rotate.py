@@ -96,24 +96,34 @@ def cmux_conv(kernel_planes, ct0, ct1, base_log: int, levels: int):
         kernel_planes, diff, base_log, levels)
 
 
+def resolve_mode(mode: str | bool | None) -> str:
+    """CMux lowering: 'matmul' (CPU f64 GEMM over negacirculants), 'conv'
+    (int8 XLA convolutions) or 'pallas' (VMEM-negacirculant MXU kernel).
+    None/True -> TFHE_BR_MODE env or 'pallas' off-CPU, 'matmul' on CPU."""
+    import os
+
+    if isinstance(mode, str):
+        return mode
+    if jax.default_backend() == "cpu" and mode is not True:
+        return "matmul"
+    return os.environ.get("TFHE_BR_MODE", "pallas")
+
+
 def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
-                      use_conv: bool | None = None):
+                      use_conv: bool | str | None = None):
     """Blind-rotate an arbitrary GLWE accumulator by the phase of `lwe`.
 
     lwe:      [..., n+1] u64 (under the small key)
     bsk:      [n, L, k+1, k+1, N] u64
     acc_glwe: [..., k+1, N] u64 (possibly encrypted; broadcastable over batch)
 
-    Two CMux lowerings: `use_conv=True` (default off-CPU) pre-splits the BSK
-    into int8 limb planes once and runs each external product as int8 MXU
-    convolutions — the hot loop never touches emulated u64 except for the
-    accumulator adds. The matmul path (CPU) materializes negacirculants and
-    contracts via exact f64 GEMMs.
+    Off-CPU the CMux chain runs on native (lo, hi) u32 pairs — rotation
+    ladders, gadget digit fields, carry adds are all 32-bit vector ops — and
+    the external products run as int8 MXU contractions (`resolve_mode`).
     """
     p = params
     n, logn = p.polynomial_size, p.log2_poly_size
-    if use_conv is None:
-        use_conv = jax.default_backend() != "cpu"
+    mode = resolve_mode(use_conv)
     lwe = jnp.asarray(lwe, U64)
     batch_shape = lwe.shape[:-1]
 
@@ -127,18 +137,22 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
     bsk_rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64)) # [n_lwe, R, k+1, N]
     a_steps = jnp.moveaxis(a_tilde, -1, 0)                # [n_lwe, ...]
 
-    if use_conv:
-        from tfhe_aes2_tpu.ops import u32pair as up
+    if mode in ("conv", "pallas"):
+        from tfhe_aes2_tpu.ops import torus, u32pair as up
+        from tfhe_aes2_tpu.ops.pallas import extprod
 
-        bsk_planes = jax.vmap(polynomial.split_polys_for_conv)(bsk_rows)
         bound = decomposition.digit_bound(p.pbs_base_log)
+        n_d = torus.limbs_for_bound(bound)
         k1 = p.glwe_dimension + 1
         batch_flat = 1
         for s in batch_shape:
             batch_flat *= s
 
-        # the whole CMux chain runs on native (lo, hi) u32 pairs — rotation
-        # gathers, gadget digit fields and carry adds are all 32-bit ops
+        if mode == "pallas":
+            bsk_planes = jax.vmap(extprod.split_polys_for_pallas)(bsk_rows)
+        else:
+            bsk_planes = jax.vmap(polynomial.split_polys_for_conv)(bsk_rows)
+
         acc_pair = up.from_u64(acc.reshape((batch_flat, k1, n)))
 
         def step(acc_pair, xs):
@@ -150,7 +164,12 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             # [B, k1, N, L] -> rows r = u·L + l: [B, k1·L, N]
             digits = jnp.moveaxis(digits, -1, -2).reshape(
                 (batch_flat, k1 * p.pbs_level, n))
-            partials = polynomial.conv_partials(digits, planes_i, bound)
+            if mode == "pallas":
+                d_planes = torus.split_int32_signed(digits, n_d)
+                parts = extprod.extprod_partials(d_planes, planes_i)
+                partials = {s: parts[s] for s in range(8)}
+            else:
+                partials = polynomial.conv_partials(digits, planes_i, bound)
             out_pair = up.accumulate_partials(partials)
             return up.add(acc_pair, out_pair), None
 

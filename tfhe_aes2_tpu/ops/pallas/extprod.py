@@ -1,0 +1,124 @@
+"""Pallas external-product kernel: the blind-rotate CMux inner loop.
+
+Computes, for one BSK entry, the negacyclic products
+
+    out[b, o, m] = Σ_{r,j} digits[b, r, j] · bsk[r, o][(m - j) mod± N]
+
+as int8 MXU matmuls against negacirculant tiles built **inside VMEM** by a
+log-doubling chain of static lane rotations (pltpu.roll) — the O(N²)
+negacirculant never touches HBM, eliminating the gather/im2col bottlenecks of
+the XLA conv/gather formulations (bench_probe*.py).
+
+Index algebra: with ext = [p, -p] (length 2N), NC[j, m] = ext[(m-j) mod 2N] =
+rot[i, m] for i = (2N - j) mod 2N where rot[i] = rotate_left(ext, i). Rows
+j ∈ [1, N) map to i ∈ (N, 2N); reversing the digit vector instead of the
+matrix keeps rows in ascending order:
+
+    out[m] = d[0]·ext[m] + Σ_{t=1}^{N-1} drev[t] · rot[N + t, m]
+    with drev[t] = d[N - t]  (drev[0] = 0).
+
+The kernel consumes `drev` (built by XLA with one cheap flip) and computes
+per output column o: Σ_r ( d0 ⊗ ext[:N] + drev @ rot[N:2N, :N] ), accumulated
+in int32 per limb-shift s and recombined to u64 outside.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rot_rows_n_to_2n(ext_row):
+    """ext_row [1, 2N] int8 -> [N, 2N] where row t = rotate_left(ext, N + t).
+
+    log-doubling: start with rotate_left(ext, N); M_{k+1} = [M_k ;
+    rotate_left(M_k, 2^k)].
+    """
+    two_n = ext_row.shape[-1]
+    n = two_n // 2
+    # pltpu.roll takes non-negative shifts; rotate_left(s) = roll(2N - s)
+    m = pltpu.roll(ext_row, n, 1)           # rotate_left by N (2N - N = N)
+    size = 1
+    while size < n:
+        m = jnp.concatenate([m, pltpu.roll(m, two_n - size, 1)], axis=0)
+        size *= 2
+    return m                                 # [N, 2N]
+
+
+def _kernel(n_d: int, n_pairs, r_cnt: int, n: int,
+            d0_ref, drev_ref, ext_ref, out_ref, acc_ref):
+    """Grid (O,). Shapes:
+    d0_ref   [n_d, B, R]      int8  (digit coefficient 0)
+    drev_ref [n_d, B, R, N]   int8  (reversed digits, drev[0]=0)
+    ext_ref  [8, R, 1, 2N]    int8  (this o's doubled BSK limb planes)
+    out_ref  [8, B, 1, N]     int32 (partial sums per shift s)
+    acc_ref  [8, B, N]        int32 scratch
+    """
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for r in range(r_cnt):
+        for j in range(8):
+            if not any(i + j < 8 for i in range(n_d)):
+                continue
+            ext = ext_ref[j, r]                       # [1, 2N]
+            rot = _rot_rows_n_to_2n(ext)              # [N, 2N]
+            ncm = rot[:, :n]                          # [N, N]
+            row0 = ext[:, :n]                         # [1, N]
+            for i in range(n_d):
+                s = i + j
+                if s >= 8:
+                    continue
+                contrib = jnp.dot(drev_ref[i, :, r, :], ncm,
+                                  preferred_element_type=jnp.int32)
+                contrib += jnp.dot(d0_ref[i, :, r][:, None].astype(jnp.int8),
+                                   row0, preferred_element_type=jnp.int32)
+                acc_ref[s] += contrib
+    out_ref[...] = acc_ref[...][:, :, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extprod_partials(d_planes, ext_planes, interpret: bool | None = None):
+    """d_planes int8 [n_d, B, R, N]; ext_planes int8 [8, R, O, 2N]
+    -> int32 [8, B, O, N] partial sums (weight 2^(8s))."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_d, b, r, n = d_planes.shape
+    _, r2, o, two_n = ext_planes.shape
+    assert r2 == r and two_n == 2 * n
+
+    d0 = d_planes[..., 0].astype(jnp.int8)                     # [n_d, B, R]
+    drev = jnp.concatenate(
+        [jnp.zeros_like(d_planes[..., :1]),
+         jnp.flip(d_planes[..., 1:], axis=-1)], axis=-1)       # [n_d, B, R, N]
+
+    kern = functools.partial(_kernel, n_d, None, r, n)
+    return pl.pallas_call(
+        kern,
+        grid=(o,),
+        in_specs=[
+            pl.BlockSpec((n_d, b, r), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_d, b, r, n), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, r, 1, two_n), lambda i: (0, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, b, 1, n), lambda i: (0, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, b, o, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, b, n), jnp.int32)],
+        interpret=interpret,
+    )(d0, drev, ext_planes)
+
+
+def split_polys_for_pallas(polys):
+    """[R, O, N] u64 -> ext limb planes int8 [8, R, O, 2N] (ext = [p, -p])."""
+    from tfhe_aes2_tpu.ops.polynomial import negacyclic_extend
+    from tfhe_aes2_tpu.ops.torus import split_u64_signed
+
+    ext = negacyclic_extend(jnp.asarray(polys, jnp.uint64))    # [R, O, 2N]
+    return split_u64_signed(ext)                               # [8, R, O, 2N]
