@@ -55,8 +55,8 @@ def _kernel(n_d: int, n_pairs, r_cnt: int, n: int,
     """Grid (O,). Shapes:
     d0_ref   [n_d, B, R]      int8  (digit coefficient 0)
     drev_ref [n_d, B, R, N]   int8  (reversed digits, drev[0]=0)
-    ext_ref  [8, R, 1, 2N]    int8  (this o's doubled BSK limb planes)
-    out_ref  [8, B, 1, N]     int32 (partial sums per shift s)
+    ext_ref  [1, 8, R, 2N]    int8  (this o's doubled BSK limb planes)
+    out_ref  [1, 8, B, N]     int32 (partial sums per shift s)
     acc_ref  [8, B, N]        int32 scratch
     """
     acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -64,7 +64,7 @@ def _kernel(n_d: int, n_pairs, r_cnt: int, n: int,
         for j in range(8):
             if not any(i + j < 8 for i in range(n_d)):
                 continue
-            ext = ext_ref[j, r]                       # [1, 2N]
+            ext = ext_ref[0, j, r][None, :]           # [1, 2N]
             rot = _rot_rows_n_to_2n(ext)              # [N, 2N]
             ncm = rot[:, :n]                          # [N, N]
             row0 = ext[:, :n]                         # [1, N]
@@ -77,7 +77,7 @@ def _kernel(n_d: int, n_pairs, r_cnt: int, n: int,
                 contrib += jnp.dot(d0_ref[i, :, r][:, None].astype(jnp.int8),
                                    row0, preferred_element_type=jnp.int32)
                 acc_ref[s] += contrib
-    out_ref[...] = acc_ref[...][:, :, None, :]
+    out_ref[...] = acc_ref[...][None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -95,8 +95,10 @@ def extprod_partials(d_planes, ext_planes, interpret: bool | None = None):
         [jnp.zeros_like(d_planes[..., :1]),
          jnp.flip(d_planes[..., 1:], axis=-1)], axis=-1)       # [n_d, B, R, N]
 
+    ext_o_first = jnp.moveaxis(ext_planes, 2, 0)               # [O, 8, R, 2N]
+
     kern = functools.partial(_kernel, n_d, None, r, n)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(o,),
         in_specs=[
@@ -104,15 +106,16 @@ def extprod_partials(d_planes, ext_planes, interpret: bool | None = None):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_d, b, r, n), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, r, 1, two_n), lambda i: (0, 0, i, 0),
+            pl.BlockSpec((1, 8, r, two_n), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((8, b, 1, n), lambda i: (0, 0, i, 0),
+        out_specs=pl.BlockSpec((1, 8, b, n), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, b, o, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
         scratch_shapes=[pltpu.VMEM((8, b, n), jnp.int32)],
         interpret=interpret,
-    )(d0, drev, ext_planes)
+    )(d0, drev, ext_o_first)
+    return jnp.transpose(out, (1, 2, 0, 3))                    # [8, B, O, N]
 
 
 def split_polys_for_pallas(polys):
