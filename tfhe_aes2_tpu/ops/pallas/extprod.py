@@ -41,11 +41,13 @@ def _rot_rows_n_to_2n(ext_row):
     """
     two_n = ext_row.shape[-1]
     n = two_n // 2
-    # pltpu.roll takes non-negative shifts; rotate_left(s) = roll(2N - s)
-    m = pltpu.roll(ext_row, n, 1)           # rotate_left by N (2N - N = N)
+    # pltpu.roll takes non-negative shifts; rotate_left(s) = roll(2N - s).
+    # Shifts must be i32 (x64 mode would weak-type python ints to i64).
+    m = pltpu.roll(ext_row, jnp.int32(n), 1)  # rotate_left by N (2N - N = N)
     size = 1
     while size < n:
-        m = jnp.concatenate([m, pltpu.roll(m, two_n - size, 1)], axis=0)
+        m = jnp.concatenate(
+            [m, pltpu.roll(m, jnp.int32(two_n - size), 1)], axis=0)
         size *= 2
     return m                                 # [N, 2N]
 
