@@ -34,22 +34,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _rot_rows_n_to_2n(ext_row):
-    """ext_row [1, 2N] int8 -> [N, 2N] where row t = rotate_left(ext, N + t).
+    """ext_row [1, 2N] int8 -> [N, 2N] int8 where row t = rotate_left(ext, N+t).
 
     log-doubling: start with rotate_left(ext, N); M_{k+1} = [M_k ;
-    rotate_left(M_k, 2^k)].
+    rotate_left(M_k, 2^k)]. Mosaic's dynamic_rotate only handles 32-bit
+    lanes, so the ladder runs on an int32 widening and casts back once.
     """
     two_n = ext_row.shape[-1]
     n = two_n // 2
     # pltpu.roll takes non-negative shifts; rotate_left(s) = roll(2N - s).
     # Shifts must be i32 (x64 mode would weak-type python ints to i64).
-    m = pltpu.roll(ext_row, jnp.int32(n), 1)  # rotate_left by N (2N - N = N)
+    m = pltpu.roll(ext_row.astype(jnp.int32), jnp.int32(n), 1)
     size = 1
     while size < n:
         m = jnp.concatenate(
             [m, pltpu.roll(m, jnp.int32(two_n - size), 1)], axis=0)
         size *= 2
-    return m                                 # [N, 2N]
+    return m.astype(jnp.int8)                # [N, 2N]
 
 
 def _kernel(n_d: int, n_pairs, r_cnt: int, n: int,
