@@ -11,15 +11,15 @@ the XLA conv/gather formulations (bench_probe*.py).
 
 Index algebra: with ext = [p, -p] (length 2N), NC[j, m] = ext[(m-j) mod 2N] =
 rot[i, m] for i = (2N - j) mod 2N where rot[i] = rotate_left(ext, i). Rows
-j ∈ [1, N) map to i ∈ (N, 2N); reversing the digit vector instead of the
-matrix keeps rows in ascending order:
+j ∈ [1, N) map to i ∈ (N, 2N); j = 0 maps to rotation 0 = -rot[N] (ext is
+negacyclic: rotate_left(ext, N) = -ext). Reversing (and sign-fixing) the
+digit vector instead of the matrix keeps rows ascending:
 
-    out[m] = d[0]·ext[m] + Σ_{t=1}^{N-1} drev[t] · rot[N + t, m]
-    with drev[t] = d[N - t]  (drev[0] = 0).
+    out[m] = Σ_{t=0}^{N-1} drev[t] · rot[N + t, m]
+    with drev[0] = -d[0], drev[t] = d[N - t] (t >= 1)
 
-The kernel consumes `drev` (built by XLA with one cheap flip) and computes
-per output column o: Σ_r ( d0 ⊗ ext[:N] + drev @ rot[N:2N, :N] ), accumulated
-in int32 per limb-shift s and recombined to u64 outside.
+— a single [B, N] x [N, N] int8 matmul per (r, digit-plane, key-plane),
+accumulated in int32 per limb-shift s and recombined to u64 outside.
 """
 
 from __future__ import annotations
@@ -54,49 +54,53 @@ def _rot_rows_n_to_2n(ext_row):
 
 
 def _kernel(n_d: int, n_pairs, r_cnt: int, n: int,
-            d0_ref, drev_ref, ext_ref, out_ref, acc_ref):
+            drev_ref, ext_ref, out_ref):
     """Grid (O,). Shapes:
-    d0_ref   [n_d, B, R]      int8  (digit coefficient 0)
-    drev_ref [n_d, B, R, N]   int8  (reversed digits, drev[0]=0)
+    drev_ref [n_d, B, R, N]   int8  (sign-fixed reversed digits)
     ext_ref  [1, 8, R, 2N]    int8  (this o's doubled BSK limb planes)
     out_ref  [1, 8, B, N]     int32 (partial sums per shift s)
-    acc_ref  [8, B, N]        int32 scratch
     """
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+    acc = [None] * 8
     for r in range(r_cnt):
         for j in range(8):
             if not any(i + j < 8 for i in range(n_d)):
                 continue
-            ext = ext_ref[0, j, r][None, :]           # [1, 2N]
+            ext = ext_ref[0, j, r: r + 1, :]          # [1, 2N]
             rot = _rot_rows_n_to_2n(ext)              # [N, 2N]
             ncm = rot[:, :n]                          # [N, N]
-            row0 = ext[:, :n]                         # [1, N]
             for i in range(n_d):
                 s = i + j
                 if s >= 8:
                     continue
                 contrib = jnp.dot(drev_ref[i, :, r, :], ncm,
                                   preferred_element_type=jnp.int32)
-                contrib += jnp.dot(d0_ref[i, :, r][:, None].astype(jnp.int8),
-                                   row0, preferred_element_type=jnp.int32)
-                acc_ref[s] += contrib
-    out_ref[...] = acc_ref[...][None]
+                acc[s] = contrib if acc[s] is None else acc[s] + contrib
+    for s in range(8):
+        if acc[s] is not None:
+            out_ref[0, s] = acc[s]
+        else:
+            out_ref[0, s] = jnp.zeros_like(out_ref[0, s])
+
+
+def reverse_digits(digits):
+    """int32 digits [..., N] -> sign-fixed reversed digits for the kernel:
+    drev[0] = -d[0] (rotation-N sign trick), drev[t] = d[N-t]. Done on int32
+    BEFORE limb splitting (int8 negation of -128 would wrap)."""
+    return jnp.concatenate(
+        [-digits[..., :1], jnp.flip(digits[..., 1:], axis=-1)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def extprod_partials(d_planes, ext_planes, interpret: bool | None = None):
-    """d_planes int8 [n_d, B, R, N]; ext_planes int8 [8, R, O, 2N]
-    -> int32 [8, B, O, N] partial sums (weight 2^(8s))."""
+def extprod_partials(drev_planes, ext_planes, interpret: bool | None = None):
+    """drev_planes int8 [n_d, B, R, N] (limb planes of reverse_digits output);
+    ext_planes int8 [8, R, O, 2N] -> int32 [8, B, O, N] partial sums
+    (weight 2^(8s))."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    n_d, b, r, n = d_planes.shape
+    drev = drev_planes
+    n_d, b, r, n = drev.shape
     _, r2, o, two_n = ext_planes.shape
     assert r2 == r and two_n == 2 * n
-
-    d0 = d_planes[..., 0].astype(jnp.int8)                     # [n_d, B, R]
-    drev = jnp.concatenate(
-        [jnp.zeros_like(d_planes[..., :1]),
-         jnp.flip(d_planes[..., 1:], axis=-1)], axis=-1)       # [n_d, B, R, N]
 
     ext_o_first = jnp.moveaxis(ext_planes, 2, 0)               # [O, 8, R, 2N]
 
@@ -105,8 +109,6 @@ def extprod_partials(d_planes, ext_planes, interpret: bool | None = None):
         kern,
         grid=(o,),
         in_specs=[
-            pl.BlockSpec((n_d, b, r), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_d, b, r, n), lambda i: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, r, two_n), lambda i: (i, 0, 0, 0),
@@ -115,9 +117,8 @@ def extprod_partials(d_planes, ext_planes, interpret: bool | None = None):
         out_specs=pl.BlockSpec((1, 8, b, n), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, b, n), jnp.int32)],
         interpret=interpret,
-    )(d0, drev, ext_o_first)
+    )(drev, ext_o_first)
     return jnp.transpose(out, (1, 2, 0, 3))                    # [8, B, O, N]
 
 
