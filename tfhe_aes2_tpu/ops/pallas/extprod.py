@@ -53,33 +53,34 @@ def _rot_rows_n_to_2n(ext_row):
     return m.astype(jnp.int8)                # [N, 2N]
 
 
-def _kernel(n_d: int, n_pairs, r_cnt: int, n: int,
+def _kernel(n_d: int, o_cnt: int, r_cnt: int, n: int,
             drev_ref, ext_ref, out_ref):
-    """Grid (O,). Shapes:
+    """Gridless. Shapes:
     drev_ref [n_d, B, R, N]   int8  (sign-fixed reversed digits)
-    ext_ref  [1, 8, R, 2N]    int8  (this o's doubled BSK limb planes)
-    out_ref  [1, 8, B, N]     int32 (partial sums per shift s)
+    ext_ref  [O, 8, R, 2N]    int8  (doubled BSK limb planes)
+    out_ref  [O, 8, B, N]     int32 (partial sums per shift s)
     """
-    acc = [None] * 8
-    for r in range(r_cnt):
-        for j in range(8):
-            if not any(i + j < 8 for i in range(n_d)):
-                continue
-            ext = ext_ref[0, j, r: r + 1, :]          # [1, 2N]
-            rot = _rot_rows_n_to_2n(ext)              # [N, 2N]
-            ncm = rot[:, :n]                          # [N, N]
-            for i in range(n_d):
-                s = i + j
-                if s >= 8:
+    for o in range(o_cnt):
+        acc = [None] * 8
+        for r in range(r_cnt):
+            for j in range(8):
+                if not any(i + j < 8 for i in range(n_d)):
                     continue
-                contrib = jnp.dot(drev_ref[i, :, r, :], ncm,
-                                  preferred_element_type=jnp.int32)
-                acc[s] = contrib if acc[s] is None else acc[s] + contrib
-    for s in range(8):
-        if acc[s] is not None:
-            out_ref[0, s] = acc[s]
-        else:
-            out_ref[0, s] = jnp.zeros_like(out_ref[0, s])
+                ext = ext_ref[o, j, r: r + 1, :]      # [1, 2N]
+                rot = _rot_rows_n_to_2n(ext)          # [N, 2N]
+                ncm = rot[:, :n]                      # [N, N]
+                for i in range(n_d):
+                    s = i + j
+                    if s >= 8:
+                        continue
+                    contrib = jnp.dot(drev_ref[i, :, r, :], ncm,
+                                      preferred_element_type=jnp.int32)
+                    acc[s] = contrib if acc[s] is None else acc[s] + contrib
+        for s in range(8):
+            if acc[s] is not None:
+                out_ref[o, s] = acc[s]
+            else:
+                out_ref[o, s] = jnp.zeros_like(out_ref[o, s])
 
 
 def reverse_digits(digits):
@@ -104,18 +105,14 @@ def extprod_partials(drev_planes, ext_planes, interpret: bool | None = None):
 
     ext_o_first = jnp.moveaxis(ext_planes, 2, 0)               # [O, 8, R, 2N]
 
-    kern = functools.partial(_kernel, n_d, None, r, n)
+    kern = functools.partial(_kernel, n_d, o, r, n)
     out = pl.pallas_call(
         kern,
-        grid=(o,),
         in_specs=[
-            pl.BlockSpec((n_d, b, r, n), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, r, two_n), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, b, n), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
         interpret=interpret,
     )(drev, ext_o_first)
