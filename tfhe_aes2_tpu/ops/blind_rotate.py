@@ -106,7 +106,7 @@ def resolve_mode(mode: str | bool | None) -> str:
         return mode
     if jax.default_backend() == "cpu" and mode is not True:
         return "matmul"
-    return os.environ.get("TFHE_BR_MODE", "conv")
+    return os.environ.get("TFHE_BR_MODE", "pallas")
 
 
 def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
