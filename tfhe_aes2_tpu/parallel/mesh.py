@@ -39,7 +39,7 @@ def make_sharded_encrypt_blocks_fn(strategy, params, rounds: int, mesh: Mesh):
     """(sks, ks_cts [44,4,8,n1] repl, blocks [B,16,8,n1] block-sharded)."""
     from functools import partial
     from tfhe_aes2_tpu.aes_128.fhe import _run_with_clear_schedule
-    fn = partial(_run_with_clear_schedule, strategy.pipeline, params, rounds)
+    fn = partial(_run_with_clear_schedule, strategy, params, rounds)
     return _sharded(fn, mesh, 3)
 
 
@@ -48,5 +48,5 @@ def make_sharded_full_aes_fn(strategy, params, rounds: int, mesh: Mesh):
     FHE key schedule (replicated) + all rounds (sharded) in one program."""
     from functools import partial
     from tfhe_aes2_tpu.aes_128.fhe import _run_full
-    fn = partial(_run_full, strategy.pipeline, params, rounds)
+    fn = partial(_run_full, strategy, params, rounds)
     return _sharded(fn, mesh, 2)
