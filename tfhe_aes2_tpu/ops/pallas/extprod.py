@@ -83,6 +83,35 @@ def _kernel(n_d: int, o_cnt: int, r_cnt: int, n: int,
                 out_ref[o, s] = jnp.zeros_like(out_ref[o, s])
 
 
+def _kernel_grid(n_d: int, n: int, drev_ref, ext_ref, out_ref):
+    """Grid (O, R) body — ~75x smaller Mosaic program than the gridless
+    kernel (whose full unroll of 600 rotation ladders compiled in minutes).
+    Block shapes:
+    drev_ref [1, n_d, B, N]  int8  (row r of [R, n_d, B, N])
+    ext_ref  [1, 1, 8, 2N]   int8  ((o, r) of [O, R, 8, 2N])
+    out_ref  [1, 8, B, N]    int32 (output block o, revisited across r)
+    """
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for j in range(8):
+        if not any(i + j < 8 for i in range(n_d)):
+            continue
+        ext = ext_ref[0, 0, j: j + 1, :]              # [1, 2N]
+        rot = _rot_rows_n_to_2n(ext)                  # [N, 2N]
+        ncm = rot[:, :n]                              # [N, N]
+        for i in range(n_d):
+            s = i + j
+            if s >= 8:
+                continue
+            contrib = jnp.dot(drev_ref[0, i], ncm,
+                              preferred_element_type=jnp.int32)
+            out_ref[0, s] = out_ref[0, s] + contrib
+
+
 def reverse_digits(digits):
     """int32 digits [..., N] -> sign-fixed reversed digits for the kernel:
     drev[0] = -d[0] (rotation-N sign trick), drev[t] = d[N-t]. Done on int32
@@ -91,8 +120,9 @@ def reverse_digits(digits):
         [-digits[..., :1], jnp.flip(digits[..., 1:], axis=-1)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def extprod_partials(drev_planes, ext_planes, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "gridless"))
+def extprod_partials(drev_planes, ext_planes, interpret: bool | None = None,
+                     gridless: bool = False):
     """drev_planes int8 [n_d, B, R, N] (limb planes of reverse_digits output);
     ext_planes int8 [8, R, O, 2N] -> int32 [8, B, O, N] partial sums
     (weight 2^(8s))."""
@@ -103,19 +133,38 @@ def extprod_partials(drev_planes, ext_planes, interpret: bool | None = None):
     _, r2, o, two_n = ext_planes.shape
     assert r2 == r and two_n == 2 * n
 
-    ext_o_first = jnp.moveaxis(ext_planes, 2, 0)               # [O, 8, R, 2N]
+    if gridless:
+        ext_o_first = jnp.moveaxis(ext_planes, 2, 0)           # [O, 8, R, 2N]
+        kern = functools.partial(_kernel, n_d, o, r, n)
+        out = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
+            interpret=interpret,
+        )(drev, ext_o_first)
+        return jnp.transpose(out, (1, 2, 0, 3))                # [8, B, O, N]
 
-    kern = functools.partial(_kernel, n_d, o, r, n)
-    out = pl.pallas_call(
-        kern,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
-        interpret=interpret,
-    )(drev, ext_o_first)
+    drev_r_first = jnp.moveaxis(drev, 2, 0)                    # [R, n_d, B, N]
+    ext_or = jnp.transpose(ext_planes, (2, 1, 0, 3))           # [O, R, 8, 2N]
+    kern = functools.partial(_kernel_grid, n_d, n)
+    # Mosaic rejects the i64 grid-index arithmetic that x64 mode produces;
+    # all kernel dtypes are explicit, so trace the call with x64 off.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(o, r),
+            in_specs=[
+                pl.BlockSpec((1, n_d, b, n), lambda oo, rr: (rr, 0, 0, 0)),
+                pl.BlockSpec((1, 1, 8, two_n), lambda oo, rr: (oo, rr, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, b, n), lambda oo, rr: (oo, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
+            interpret=interpret,
+        )(drev_r_first, ext_or)
     return jnp.transpose(out, (1, 2, 0, 3))                    # [8, B, O, N]
 
 
