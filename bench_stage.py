@@ -89,7 +89,7 @@ def main() -> int:
             diff = up.sub(rot, c)
             digits = up.decompose(diff, p.pbs_base_log, p.pbs_level)
             digits = jnp.moveaxis(digits, -1, -2).reshape((B, R, n))
-            drev = extprod.reverse_digits(digits)
+            drev = digits
             drev_planes = torus.split_int32_signed(drev, n_d)
             # feed a cheap function of the planes back into the carry so no
             # stage is dead code; the xor is negligible next to the ladder
@@ -104,7 +104,7 @@ def main() -> int:
         acc_pair = up.from_u64(acc64_in)
         digits = up.decompose(acc_pair, p.pbs_base_log, p.pbs_level)
         digits = jnp.moveaxis(digits, -1, -2).reshape((B, R, n))
-        drev = extprod.reverse_digits(digits)
+        drev = digits
         drev_planes = torus.split_int32_signed(drev, n_d)
         def body(c, planes_i):
             parts = extprod.extprod_partials(drev_planes, planes_i)
@@ -121,7 +121,7 @@ def main() -> int:
             diff = up.sub(rot, acc_pair)
             digits = up.decompose(diff, p.pbs_base_log, p.pbs_level)
             digits = jnp.moveaxis(digits, -1, -2).reshape((B, R, n))
-            drev = extprod.reverse_digits(digits)
+            drev = digits
             drev_planes = torus.split_int32_signed(drev, n_d)
             parts = extprod.extprod_partials(drev_planes, planes_i)
             if upto == "extprod":
@@ -150,7 +150,7 @@ def main() -> int:
             diff = up.sub(rot, c)
             digits = up.decompose(diff, p.pbs_base_log, p.pbs_level)
             digits = jnp.moveaxis(digits, -1, -2).reshape((B, R, n))
-            drev = extprod.reverse_digits(digits)
+            drev = digits
             drev_planes = torus.split_int32_signed(drev, n_d)
             drev_r_first = jnp.moveaxis(drev_planes, 2, 0)     # [R,n_d,B,N]
             fold = drev_r_first[0, 0].astype(jnp.uint32)       # [B, N]
@@ -201,7 +201,7 @@ def main() -> int:
             digits = up.decompose(diff, p.pbs_base_log, p.pbs_level)
             digits = jnp.moveaxis(digits, -1, -2).reshape((B, R, n))
             if mode == "pallas":
-                drev = extprod.reverse_digits(digits)
+                drev = digits
                 drev_planes = torus.split_int32_signed(drev, n_d)
                 parts = extprod.extprod_partials(drev_planes, planes_i)
                 partials = {s: parts[s] for s in range(8)}

@@ -124,10 +124,10 @@ def test_pallas_extprod_matches_shared():
     expect = np.asarray(polynomial.polymul_digits_shared(
         jnp.asarray(digits), jnp.asarray(polys), bound))
 
-    drev = extprod.reverse_digits(jnp.asarray(digits))
-    drev_planes = torus.split_int32_signed(drev, 2)
+    digit_planes = torus.split_int32_signed(jnp.asarray(digits), 2)
     ext_planes = extprod.split_polys_for_pallas(jnp.asarray(polys))
-    partials = extprod.extprod_partials(drev_planes, ext_planes, interpret=True)
+    partials = extprod.extprod_partials(
+        digit_planes, ext_planes, interpret=True)
     pdict = {s: partials[s] for s in range(8)}
     got = np.asarray(up.to_u64(*up.accumulate_partials(pdict)))
     np.testing.assert_array_equal(got, expect)

@@ -165,9 +165,8 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             digits = jnp.moveaxis(digits, -1, -2).reshape(
                 (batch_flat, k1 * p.pbs_level, n))
             if mode == "pallas":
-                drev = extprod.reverse_digits(digits)
-                drev_planes = torus.split_int32_signed(drev, n_d)
-                parts = extprod.extprod_partials(drev_planes, planes_i)
+                digit_planes = torus.split_int32_signed(digits, n_d)
+                parts = extprod.extprod_partials(digit_planes, planes_i)
                 partials = {s: parts[s] for s in range(8)}
             else:
                 partials = polynomial.conv_partials(digits, planes_i, bound)

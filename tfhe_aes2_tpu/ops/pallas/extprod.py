@@ -4,22 +4,27 @@ Computes, for one BSK entry, the negacyclic products
 
     out[b, o, m] = Σ_{r,j} digits[b, r, j] · bsk[r, o][(m - j) mod± N]
 
-as int8 MXU matmuls against negacirculant tiles built **inside VMEM** by a
-log-doubling chain of static lane rotations (pltpu.roll) — the O(N²)
-negacirculant never touches HBM, eliminating the gather/im2col bottlenecks of
-the XLA conv/gather formulations (bench_probe*.py).
+as int8 MXU matmuls against negacirculant tiles built **inside VMEM** — the
+O(N²) negacirculant never touches HBM, eliminating the gather/im2col
+bottlenecks of the XLA conv/gather formulations (bench_probe*.py).
 
-Index algebra: with ext = [p, -p] (length 2N), NC[j, m] = ext[(m-j) mod 2N] =
-rot[i, m] for i = (2N - j) mod 2N where rot[i] = rotate_left(ext, i). Rows
-j ∈ [1, N) map to i ∈ (N, 2N); j = 0 maps to rotation 0 = -rot[N] (ext is
-negacyclic: rotate_left(ext, N) = -ext). Reversing (and sign-fixing) the
-digit vector instead of the matrix keeps rows ascending:
+Index algebra: with ext = [p, -p] (length 2N, negacyclic doubling),
+NC[j, m] = ext[(m - j) mod 2N] = rotate_right(ext, j)[m]. The negacirculant
+rows are therefore built directly by a log-doubling chain of STATIC
+rotate-rights (pure int8 slice+concat — no dynamic rotate, no digit
+reversal, no sign tricks):
 
-    out[m] = Σ_{t=0}^{N-1} drev[t] · rot[N + t, m]
-    with drev[0] = -d[0], drev[t] = d[N - t] (t >= 1)
+    M_0 = [ext];  M_{k+1} = [M_k ; rotate_right(M_k, 2^k)]  ->  rows j = 0..N-1
+
+    out[b, m] = Σ_j d[b, j] · NC[j, m]
 
 — a single [B, N] x [N, N] int8 matmul per (r, digit-plane, key-plane),
 accumulated in int32 per limb-shift s and recombined to u64 outside.
+
+Reference parity: this implements the per-step external product of the
+CMux chain in blind rotation (reference fhe_model.rs bootstrap path);
+decomposition/recombination contracts live in ops/torus.py and
+ops/u32pair.py.
 """
 
 from __future__ import annotations
@@ -28,68 +33,31 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
-def _rot_rows_n_to_2n(ext_row):
-    """ext_row [1, 2N] int8 -> [N, 2N] int8 where row t = rotate_left(ext, N+t).
-
-    log-doubling: start with rotate_left(ext, N); M_{k+1} = [M_k ;
-    rotate_left(M_k, 2^k)]. Mosaic's dynamic_rotate only handles 32-bit
-    lanes, so the ladder runs on an int32 widening and casts back once.
-    """
-    two_n = ext_row.shape[-1]
-    n = two_n // 2
-    # pltpu.roll takes non-negative shifts; rotate_left(s) = roll(2N - s).
-    # Shifts must be i32 (x64 mode would weak-type python ints to i64).
-    m = pltpu.roll(ext_row.astype(jnp.int32), jnp.int32(n), 1)
+def _nc_rows(ext_row, n: int):
+    """ext_row [1, 2N] int8 -> [N, 2N] int8 where row j = rotate_right(ext, j)
+    (= negacirculant row j). Log-doubling with static shifts: pure int8
+    slice+concat, keeps everything in VMEM at native width."""
+    m = ext_row
     size = 1
     while size < n:
-        m = jnp.concatenate(
-            [m, pltpu.roll(m, jnp.int32(two_n - size), 1)], axis=0)
+        rolled = jnp.concatenate(
+            [m[..., -size:], m[..., :-size]], axis=-1)     # rotate_right(2^k)
+        m = jnp.concatenate([m, rolled], axis=0)
         size *= 2
-    return m.astype(jnp.int8)                # [N, 2N]
+    return m                                               # [N, 2N]
 
 
-def _kernel(n_d: int, o_cnt: int, r_cnt: int, n: int,
-            drev_ref, ext_ref, out_ref):
-    """Gridless. Shapes:
-    drev_ref [n_d, B, R, N]   int8  (sign-fixed reversed digits)
-    ext_ref  [O, 8, R, 2N]    int8  (doubled BSK limb planes)
-    out_ref  [O, 8, B, N]     int32 (partial sums per shift s)
-    """
-    for o in range(o_cnt):
-        acc = [None] * 8
-        for r in range(r_cnt):
-            for j in range(8):
-                if not any(i + j < 8 for i in range(n_d)):
-                    continue
-                ext = ext_ref[o, j, r: r + 1, :]      # [1, 2N]
-                rot = _rot_rows_n_to_2n(ext)          # [N, 2N]
-                ncm = rot[:, :n]                      # [N, N]
-                for i in range(n_d):
-                    s = i + j
-                    if s >= 8:
-                        continue
-                    contrib = jnp.dot(drev_ref[i, :, r, :], ncm,
-                                      preferred_element_type=jnp.int32)
-                    acc[s] = contrib if acc[s] is None else acc[s] + contrib
-        for s in range(8):
-            if acc[s] is not None:
-                out_ref[o, s] = acc[s]
-            else:
-                out_ref[o, s] = jnp.zeros_like(out_ref[o, s])
-
-
-def _kernel_grid(n_d: int, n: int, drev_ref, ext_ref, out_ref):
-    """Grid (O, R) body — ~75x smaller Mosaic program than the gridless
-    kernel (whose full unroll of 600 rotation ladders compiled in minutes).
+def _kernel_grid(n_d: int, n: int, dig_ref, ext_ref, out_ref):
+    """Grid (O, R) body. A small per-(o, r) program keeps the Mosaic
+    compile tractable (a full unroll of all rotation ladders compiled in
+    minutes); the out block is revisited across r for accumulation.
     Block shapes:
-    drev_ref [1, n_d, B, N]  int8  (row r of [R, n_d, B, N])
-    ext_ref  [1, 1, 8, 2N]   int8  ((o, r) of [O, R, 8, 2N])
-    out_ref  [1, 8, B, N]    int32 (output block o, revisited across r)
+    dig_ref [1, n_d, B, N]  int8  (limb planes of the raw digits, row r)
+    ext_ref [1, 1, 8, 2N]   int8  ((o, r) of [O, R, 8, 2N])
+    out_ref [1, 8, B, N]    int32 (output block o, revisited across r)
     """
     r = pl.program_id(1)
 
@@ -100,55 +68,28 @@ def _kernel_grid(n_d: int, n: int, drev_ref, ext_ref, out_ref):
     for j in range(8):
         if not any(i + j < 8 for i in range(n_d)):
             continue
-        ext = ext_ref[0, 0, j: j + 1, :]              # [1, 2N]
-        rot = _rot_rows_n_to_2n(ext)                  # [N, 2N]
-        ncm = rot[:, :n]                              # [N, N]
+        ncm = _nc_rows(ext_ref[0, 0, j: j + 1, :], n)[:, :n]   # [N, N]
         for i in range(n_d):
             s = i + j
             if s >= 8:
                 continue
-            contrib = jnp.dot(drev_ref[0, i], ncm,
+            contrib = jnp.dot(dig_ref[0, i], ncm,
                               preferred_element_type=jnp.int32)
             out_ref[0, s] = out_ref[0, s] + contrib
 
 
-def reverse_digits(digits):
-    """int32 digits [..., N] -> sign-fixed reversed digits for the kernel:
-    drev[0] = -d[0] (rotation-N sign trick), drev[t] = d[N-t]. Done on int32
-    BEFORE limb splitting (int8 negation of -128 would wrap)."""
-    return jnp.concatenate(
-        [-digits[..., :1], jnp.flip(digits[..., 1:], axis=-1)], axis=-1)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "gridless"))
-def extprod_partials(drev_planes, ext_planes, interpret: bool | None = None,
-                     gridless: bool = False):
-    """drev_planes int8 [n_d, B, R, N] (limb planes of reverse_digits output);
-    ext_planes int8 [8, R, O, 2N] -> int32 [8, B, O, N] partial sums
-    (weight 2^(8s))."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extprod_partials(digit_planes, ext_planes, interpret: bool | None = None):
+    """digit_planes int8 [n_d, B, R, N]: limb planes of the raw (signed)
+    gadget digits; ext_planes int8 [8, R, O, 2N] (see split_polys_for_pallas)
+    -> int32 [8, B, O, N] partial sums (weight 2^(8s))."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    drev = drev_planes
-    n_d, b, r, n = drev.shape
+    n_d, b, r, n = digit_planes.shape
     _, r2, o, two_n = ext_planes.shape
     assert r2 == r and two_n == 2 * n
 
-    if gridless:
-        ext_o_first = jnp.moveaxis(ext_planes, 2, 0)           # [O, 8, R, 2N]
-        kern = functools.partial(_kernel, n_d, o, r, n)
-        out = pl.pallas_call(
-            kern,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
-            interpret=interpret,
-        )(drev, ext_o_first)
-        return jnp.transpose(out, (1, 2, 0, 3))                # [8, B, O, N]
-
-    drev_r_first = jnp.moveaxis(drev, 2, 0)                    # [R, n_d, B, N]
+    dig_r_first = jnp.moveaxis(digit_planes, 2, 0)             # [R, n_d, B, N]
     ext_or = jnp.transpose(ext_planes, (2, 1, 0, 3))           # [O, R, 8, 2N]
     kern = functools.partial(_kernel_grid, n_d, n)
     # Mosaic rejects the i64 grid-index arithmetic that x64 mode produces;
@@ -164,7 +105,7 @@ def extprod_partials(drev_planes, ext_planes, interpret: bool | None = None,
             out_specs=pl.BlockSpec((1, 8, b, n), lambda oo, rr: (oo, 0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((o, 8, b, n), jnp.int32),
             interpret=interpret,
-        )(drev_r_first, ext_or)
+        )(dig_r_first, ext_or)
     return jnp.transpose(out, (1, 2, 0, 3))                    # [8, B, O, N]
 
 
