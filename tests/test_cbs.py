@@ -116,3 +116,25 @@ def test_xor_16bit(keys_test_n256):
     xor_fn = lambda v: ((v >> 8) ^ (v & 0xFF)) & 0xFF
     word = (0b11000110 << 8) | 0b10101010
     assert _run_lut(client, sks, word, 16, 8, xor_fn) == xor_fn(word)
+
+
+def test_vertical_packing_pallas_mode_matches_matmul(keys_test):
+    """Force the grouped Pallas VP path (interpret mode on CPU) against the
+    default matmul path on a full 8->4 LUT evaluation."""
+    import jax
+
+    client, sks = keys_test
+    p = client.params
+    value = 0xA7
+    cts, _ = _encrypt_value_bits(client, value, 8)
+    lut = cbs.generate_lut(8, 4, lambda v: (v * 131) & 0xF, p)
+    sks_j = jax.tree_util.tree_map(jnp.asarray, sks)
+    ggsw = cbs.circuit_bootstrap_bits(jnp.asarray(cts), sks_j, p)
+    out_mm = np.asarray(cbs.vertical_packing(
+        ggsw, jnp.asarray(lut), p, use_conv="matmul"))
+    out_pl = np.asarray(cbs.vertical_packing(
+        ggsw, jnp.asarray(lut), p, use_conv="pallas"))
+    np.testing.assert_array_equal(out_pl, out_mm)
+    got = client.decrypt_bits(out_pl)
+    expect = (value * 131) & 0xF
+    assert sum(int(b) << (3 - i) for i, b in enumerate(got)) == expect

@@ -145,3 +145,26 @@ def test_polymul_digits_batched():
         single = np.asarray(polynomial.polymul_digits_shared(
             jnp.asarray(digits[b]), jnp.asarray(polys[b]), bound))
         np.testing.assert_array_equal(got[b], single)
+
+
+def test_pallas_extprod_grouped_matches_matmul():
+    """The per-lane-kernel Pallas kernel (vertical-packing shape, interpret
+    mode) vs the reference grouped matmul lowering."""
+    import jax
+    from tfhe_aes2_tpu.ops.pallas import extprod
+    from tfhe_aes2_tpu.ops import torus
+
+    rng = np.random.default_rng(21)
+    n, r, o, b, g = 64, 3, 2, 4, 5
+    bound = 1 << 11
+    digits = rng.integers(-bound, bound + 1, (b, g, r, n), dtype=np.int32)
+    polys = rng.integers(0, 1 << 64, (b, r, o, n), dtype=np.uint64)
+
+    expect = np.asarray(polynomial.polymul_digits_grouped(
+        jnp.asarray(digits), jnp.asarray(polys), bound, group_ndim=1))
+
+    ext_planes = jax.vmap(extprod.split_polys_for_pallas)(jnp.asarray(polys))
+    ext_planes = jnp.moveaxis(ext_planes, 1, 0)          # [8, B, R, O, 2N]
+    got = np.asarray(extprod.polymul_digits_pallas_grouped(
+        jnp.asarray(digits), ext_planes, bound))
+    np.testing.assert_array_equal(got, expect)

@@ -84,20 +84,20 @@ def generate_lut(input_bits: int, output_bits: int, f, params: WopbsParams) -> n
 
 
 def vertical_packing(ggsw, luts, params: WopbsParams,
-                     use_conv: bool | None = None):
+                     use_conv: bool | str | None = None):
     """Evaluate the packed LUTs under the GGSW-encrypted selector bits.
 
     ggsw: [..., T, L, k+1, k+1, N] — T selector bits, MSB first.
     luts: [O, P, N] u64 cleartext LUT polynomials (shared across the batch).
     returns LWE [..., O, kN+1] — one ct per output bit.
 
-    Off-CPU the CMuxes run as grouped int8 convolutions against pre-split
-    GGSW limb planes (one kernel set per batch lane, shared by its O·P
-    accumulator group); on CPU via negacirculant f64 GEMMs.
+    Off-CPU the CMuxes run on the grouped Pallas kernel (each batch lane has
+    its own selector GGSW, shared by its O·P accumulator group; the
+    negacirculants are built in VMEM) or as grouped int8 convolutions; on
+    CPU via negacirculant f64 GEMMs. Mode via blind_rotate.resolve_mode.
     """
     p = params
-    if use_conv is None:
-        use_conv = jax.default_backend() != "cpu"
+    mode = br.resolve_mode(use_conv)
     ggsw = jnp.asarray(ggsw, U64)
     luts = jnp.asarray(luts, U64)
     o_bits, p_count, n = luts.shape
@@ -118,13 +118,18 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
     rows = ggsw_to_rows(ggsw.reshape((-1,) + ggsw.shape[-4:]))
     rows = rows.reshape(batch + (t,) + rows.shape[-3:])            # [..., T, R, k+1, N]
 
-    if use_conv:
+    if mode == "conv":
         flat_rows = rows.reshape((-1,) + rows.shape[-3:])
         planes = jax.vmap(polynomial.split_polys_for_conv)(flat_rows)
         planes = planes.reshape(batch + (t,) + planes.shape[-4:])  # [..., T, 8, O, R, N]
+    elif mode == "pallas":
+        from tfhe_aes2_tpu.ops.pallas import extprod
+        flat_rows = rows.reshape((-1,) + rows.shape[-3:])
+        planes = jax.vmap(extprod.split_polys_for_pallas)(flat_rows)
+        planes = planes.reshape(batch + (t,) + planes.shape[-4:])  # [..., T, 8, R, k+1, 2N]
 
     def cmux_stage(bit_idx, ct0, ct1, group_ndim):
-        if not use_conv:
+        if mode == "matmul":
             g = rows[..., bit_idx, :, :, :]
             return br.cmux_grouped(g, ct0, ct1, p.cbs_base_log, p.cbs_level,
                                    group_ndim=group_ndim)
@@ -141,8 +146,13 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
         kp = planes[..., bit_idx, :, :, :, :]
         kp = jnp.moveaxis(kp.reshape((b_flat,) + kp.shape[len(batch):]), 1, 0)
         from tfhe_aes2_tpu.ops import decomposition as dec
-        out = polynomial.polymul_digits_conv_grouped(
-            d4, kp, dec.digit_bound(p.cbs_base_log))
+        if mode == "pallas":
+            from tfhe_aes2_tpu.ops.pallas import extprod
+            out = extprod.polymul_digits_pallas_grouped(
+                d4, kp, dec.digit_bound(p.cbs_base_log))
+        else:
+            out = polynomial.polymul_digits_conv_grouped(
+                d4, kp, dec.digit_bound(p.cbs_base_log))
         return ct0 + out.reshape(diff.shape)
 
     # CMux tree over the packed polynomials, consuming tree bits LSB-first

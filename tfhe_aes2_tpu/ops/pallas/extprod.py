@@ -116,3 +116,93 @@ def split_polys_for_pallas(polys):
 
     ext = negacyclic_extend(jnp.asarray(polys, jnp.uint64))    # [R, O, 2N]
     return split_u64_signed(ext)                               # [8, R, O, 2N]
+
+
+def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
+    """Grid (B, O, R) body for per-lane GGSW kernels (vertical packing: every
+    batch lane has its own selector GGSW, shared by its G accumulators).
+    Block shapes:
+    dig_ref [1, 1, n_d·G, N]  int8  ((b, r) of [B, R, n_d·G, N])
+    ext_ref [1, 1, 1, 8, 2N]  int8  ((b, o, r) of [B, O, R, 8, 2N])
+    out_ref [1, 1, 8·G, N]    int32 ((b, o), revisited across r; row s·G+t
+                                     holds partial s of accumulator t)
+    """
+    r = pl.program_id(2)
+
+    @pl.when(r == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    for j in range(8):
+        if not any(i + j < 8 for i in range(n_d)):
+            continue
+        ncm = _nc_rows(ext_ref[0, 0, 0, j: j + 1, :], n)[:, :n]   # [N, N]
+        # one [n_d·G, N] x [N, N] dot covers every digit plane at this j
+        contrib = jnp.dot(dig_ref[0, 0], ncm,
+                          preferred_element_type=jnp.int32)       # [n_d·G, N]
+        for i in range(n_d):
+            s = i + j
+            if s >= 8:
+                continue
+            blk = out_ref[0, 0, s * g: (s + 1) * g]
+            out_ref[0, 0, s * g: (s + 1) * g] = (
+                blk + contrib[i * g: (i + 1) * g])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def extprod_partials_grouped(digit_planes, ext_planes,
+                             interpret: bool | None = None):
+    """Per-lane-kernel external product (the vertical-packing CMux shape).
+
+    digit_planes int8 [n_d, B, G, R, N]: limb planes of the gadget digits of
+    lane b's G accumulators; ext_planes int8 [8, B, R, O, 2N]: lane b's GGSW
+    row limb planes -> int32 [8, B, G, O, N] partial sums (weight 2^(8s)).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_d, b, g, r, n = digit_planes.shape
+    _, b2, r2, o, two_n = ext_planes.shape
+    assert (b2, r2, two_n) == (b, r, 2 * n)
+
+    # [B, R, n_d·G, N]: fuse the digit planes into the matmul M axis
+    dig = jnp.transpose(digit_planes, (1, 3, 0, 2, 4)).reshape(
+        (b, r, n_d * g, n))
+    ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))           # [B, O, R, 8, 2N]
+    kern = functools.partial(_kernel_grouped, n_d, g, n)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(b, o, r),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_d * g, n),
+                             lambda bb, oo, rr: (bb, rr, 0, 0)),
+                pl.BlockSpec((1, 1, 1, 8, two_n),
+                             lambda bb, oo, rr: (bb, oo, rr, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 8 * g, n),
+                                   lambda bb, oo, rr: (bb, oo, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, o, 8 * g, n), jnp.int32),
+            interpret=interpret,
+        )(dig, ext)
+    out = out.reshape(b, o, 8, g, n)
+    return jnp.transpose(out, (2, 0, 3, 1, 4))                 # [8, B, G, O, N]
+
+
+def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int):
+    """Drop-in for polynomial.polymul_digits_conv_grouped on the pallas path.
+
+    digits:     [B, G, R, N] int32 gadget digits (G lanes share lane b's GGSW)
+    ext_planes: [8, B, R, O, 2N] int8 (vmap of split_polys_for_pallas)
+    -> [B, G, O, N] u64, exact mod 2^64.
+    """
+    from tfhe_aes2_tpu.ops.torus import (limbs_for_bound, sext_i32_to_u64,
+                                         split_int32_signed)
+
+    n_d = limbs_for_bound(d_bound)
+    d_planes = split_int32_signed(jnp.asarray(digits, jnp.int32), n_d)
+    parts = extprod_partials_grouped(d_planes, ext_planes)     # [8, B, G, O, N]
+    out = None
+    for s in range(8):
+        term = sext_i32_to_u64(parts[s]) << jnp.uint64(8 * s)
+        out = term if out is None else out + term
+    return out
