@@ -80,8 +80,11 @@ def test_polymul_digits_conv_matches_shared():
     np.testing.assert_array_equal(got, expect)
 
 
-def test_blind_rotate_conv_path(keys_test):
-    """Conv-lowered PBS decrypts identically to the matmul lowering."""
+def test_blind_rotate_conv_path(keys_test, monkeypatch):
+    """Pallas-lowered PBS vs the matmul lowering: bit-exact with BSK limb
+    truncation disabled; within the truncation error bound with it on (the
+    default — blind_rotate.py drops the lowest BSK limb plane when its
+    products sit below the BSK noise floor)."""
     import jax
     from tfhe_aes2_tpu.ops import blind_rotate as br
     client, sks = keys_test
@@ -96,16 +99,32 @@ def test_blind_rotate_conv_path(keys_test):
                   jnp.uint64((1 << 64) - (1 << (64 - p.cbs_base_log - 1))))
     shifted = jnp.asarray(dual).at[..., -1].add(jnp.uint64(1 << 62))
     acc_mm = br.blind_rotate(shifted, sks_dev.bsk, tv, p)
-    acc_cv = None
-    # force the conv path explicitly (CPU default is matmul)
+    # force the pallas path explicitly (CPU default is matmul)
     acc_body = jnp.concatenate(
         [jnp.zeros((p.glwe_dimension, p.polynomial_size), dtype=jnp.uint64),
          tv[None]], axis=0)
+    monkeypatch.setenv("TFHE_BSK_TRUNC", "0")
     acc_cv = br.blind_rotate_glwe(shifted, sks_dev.bsk, acc_body, p,
                                   use_conv=True)
     out_mm = np.asarray(br.sample_extract0(acc_mm))
     out_cv = np.asarray(br.sample_extract0(acc_cv))
     np.testing.assert_array_equal(out_mm, out_cv)
+
+    # truncation on: the two trajectories diverge by the inherent
+    # decomposition-rounding noise (digit re-rounding differences amplified
+    # by the secret key, ~2^44 here), so don't compare runs to each other —
+    # assert the truncated run still lands on the ideal phase. The test
+    # vector is the constant c at every coefficient, so any rotation yields
+    # phase c (+ PBS noise, well under the 2^(64-cbs-1)=2^53 decode margin).
+    monkeypatch.setenv("TFHE_BSK_TRUNC", "1")
+    acc_tr = br.blind_rotate_glwe(shifted, sks_dev.bsk, acc_body, p,
+                                  use_conv=True)
+    c = (1 << 64) - (1 << (64 - p.cbs_base_log - 1))
+    expect = np.where(bits == 0, np.uint64(c),
+                      np.uint64((1 << 64) - c))  # X^t flips the sign for bit 1
+    for out in (out_mm, np.asarray(br.sample_extract0(acc_tr))):
+        err = (client.decrypt_phase(out) - expect).astype(np.int64)
+        assert np.abs(err).max() < 1 << 50, np.abs(err).max()
 
 
 def test_pallas_extprod_matches_shared():
@@ -167,4 +186,32 @@ def test_pallas_extprod_grouped_matches_matmul():
     ext_planes = jnp.moveaxis(ext_planes, 1, 0)          # [8, B, R, O, 2N]
     got = np.asarray(extprod.polymul_digits_pallas_grouped(
         jnp.asarray(digits), ext_planes, bound))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pallas_extprod_step_fused_matches_unfused():
+    """The fused CMux-step kernel (u64 recombination + accumulate in VMEM)
+    vs extprod_partials + accumulate_partials + add."""
+    from tfhe_aes2_tpu.ops.pallas import extprod
+    from tfhe_aes2_tpu.ops import torus, u32pair as up
+
+    rng = np.random.default_rng(33)
+    n, r, o, batch = 64, 4, 3, 8
+    bound = 1 << 11
+    digits = rng.integers(-bound, bound + 1, (batch, r, n), dtype=np.int32)
+    polys = rng.integers(0, 1 << 64, (r, o, n), dtype=np.uint64)
+    acc = rng.integers(0, 1 << 64, (batch, o, n), dtype=np.uint64)
+
+    digit_planes = torus.split_int32_signed(jnp.asarray(digits), 2)
+    ext_planes = extprod.split_polys_for_pallas(jnp.asarray(polys))
+    acc_pair = up.from_u64(jnp.asarray(acc))
+
+    parts = extprod.extprod_partials(digit_planes, ext_planes, interpret=True)
+    expect_pair = up.add(acc_pair,
+                         up.accumulate_partials({s: parts[s] for s in range(8)}))
+    expect = np.asarray(up.to_u64(*expect_pair))
+
+    got_pair = extprod.extprod_step(digit_planes, ext_planes,
+                                    acc_pair[0], acc_pair[1], interpret=True)
+    got = np.asarray(up.to_u64(*got_pair))
     np.testing.assert_array_equal(got, expect)

@@ -150,6 +150,17 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
 
         if mode == "pallas":
             bsk_planes = jax.vmap(extprod.split_polys_for_pallas)(bsk_rows)
+            # Drop the lowest BSK limb plane when its products sit far below
+            # the blind-rotate noise floor: the per-term truncation error std
+            # is ~127/sqrt(12) ≈ 37 vs the BSK noise std (both enter the same
+            # Σ digit·(·) sums), so at sigma_bsk >= 32·74 the added variance
+            # is < 0.1% of the inherent CMux noise. Saves 2/15 of the MXU
+            # work. TFHE_BSK_TRUNC=0 disables.
+            import os as _os
+            sigma_bsk = p.glwe_noise_std * (2.0 ** 64)
+            j_start = 1 if (sigma_bsk >= 32 * 74 and
+                            _os.environ.get("TFHE_BSK_TRUNC", "1") != "0") else 0
+            bsk_planes = bsk_planes[:, j_start:]
         else:
             bsk_planes = jax.vmap(polynomial.split_polys_for_conv)(bsk_rows)
 
@@ -166,10 +177,11 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                 (batch_flat, k1 * p.pbs_level, n))
             if mode == "pallas":
                 digit_planes = torus.split_int32_signed(digits, n_d)
-                parts = extprod.extprod_partials(digit_planes, planes_i)
-                partials = {s: parts[s] for s in range(8)}
-            else:
-                partials = polynomial.conv_partials(digits, planes_i, bound)
+                new_pair = extprod.extprod_step(
+                    digit_planes, planes_i, acc_pair[0], acc_pair[1],
+                    j_start=j_start)
+                return new_pair, None
+            partials = polynomial.conv_partials(digits, planes_i, bound)
             out_pair = up.accumulate_partials(partials)
             return up.add(acc_pair, out_pair), None
 

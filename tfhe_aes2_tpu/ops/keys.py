@@ -133,14 +133,35 @@ class ClientKey:
 # ---------------------------------------------------------------- helpers
 
 def _uniform_u64(rng: np.random.Generator, shape) -> np.ndarray:
-    return rng.integers(0, 1 << 64, size=shape, dtype=np.uint64)
+    # full-range draw: the bounded path (integers(0, 2^64)) takes a ~200x
+    # slower rejection branch in numpy
+    return rng.integers(0, np.iinfo(np.uint64).max, size=shape,
+                        dtype=np.uint64, endpoint=True)
+
+
+_CPU_CAST = None
+
+
+def _round_wrap_u64(e: np.ndarray) -> np.ndarray:
+    """rint + wrap-to-u64 of an f64 array. numpy's f64 elementwise loops run
+    ~10 MB/s on some hosts; route big arrays through a jitted XLA-CPU kernel
+    (~60x faster), keeping numpy for small ones (avoids jit churn)."""
+    if e.size < (1 << 16):
+        return np.rint(e).astype(np.int64).astype(np.uint64)
+    global _CPU_CAST
+    import jax
+    import jax.numpy as jnp
+    if _CPU_CAST is None:
+        _CPU_CAST = jax.jit(
+            lambda x: jnp.rint(x).astype(jnp.int64).astype(jnp.uint64))
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(_CPU_CAST(e.reshape(-1))).reshape(e.shape)
 
 
 def _gaussian_u64(rng: np.random.Generator, std_torus: float, shape) -> np.ndarray:
     """Gaussian noise with std = std_torus * 2^64, wrapped to u64."""
     std = std_torus * (2.0 ** Q_BITS)
-    e = np.rint(rng.normal(0.0, std, size=shape))
-    return e.astype(np.int64).astype(np.uint64)
+    return _round_wrap_u64(rng.normal(0.0, std, size=shape))
 
 
 def _wrap_dot(a: np.ndarray, s: np.ndarray) -> np.ndarray:
@@ -197,18 +218,40 @@ class _GlweEncryptor:
         e = _gaussian_u64(self.rng, noise_std, (rows, n))
         a2 = a.reshape(rows, k * n)
         b = e.copy()
-        chunk = 2048  # bound the f64 limb-plane temporaries (~32 MB each)
-        plane = np.empty((chunk, k * n), dtype=np.float64)
         with np.errstate(over="ignore"):
-            for lo in range(0, rows, chunk):
-                hi = min(lo + chunk, rows)
-                pl = plane[: hi - lo]
-                for limb in range(4):
-                    np.copyto(pl, (a2[lo:hi] >> np.uint64(16 * limb))
-                              & np.uint64(0xFFFF), casting="unsafe")
-                    coeff = np.rint(pl @ self.nc_signed).astype(np.int64).astype(np.uint64)
-                    b[lo:hi] += coeff << np.uint64(16 * limb)
+            b += _wrap_body_cpu(a2, self.nc_signed)
         return a, b
+
+
+_CPU_BODY = None
+
+
+def _wrap_body_cpu(a2: np.ndarray, nc_signed: np.ndarray) -> np.ndarray:
+    """Exact wrapping-u64 A·NC(S) via f64 limb GEMMs on the XLA-CPU backend
+    (multi-threaded Eigen; each 16-bit limb-plane sum stays below 2^53).
+    Chunked to bound the f64 temporaries."""
+    global _CPU_BODY
+    import jax
+    import jax.numpy as jnp
+    if _CPU_BODY is None:
+        def _body(a2c, nc):
+            acc = jnp.zeros((a2c.shape[0], nc.shape[1]), dtype=jnp.uint64)
+            for limb in range(4):
+                pl = ((a2c >> jnp.uint64(16 * limb))
+                      & jnp.uint64(0xFFFF)).astype(jnp.float64)
+                coeff = jnp.rint(pl @ nc).astype(jnp.int64).astype(jnp.uint64)
+                acc = acc + (coeff << jnp.uint64(16 * limb))
+            return acc
+
+        _CPU_BODY = jax.jit(_body)
+    rows = a2.shape[0]
+    chunk = 8192
+    out = np.empty((rows, nc_signed.shape[1]), dtype=np.uint64)
+    with jax.default_device(jax.devices("cpu")[0]):
+        for lo in range(0, rows, chunk):
+            hi = min(lo + chunk, rows)
+            out[lo:hi] = np.asarray(_CPU_BODY(a2[lo:hi], nc_signed))
+    return out
 
 
 def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, ServerKeySet]:

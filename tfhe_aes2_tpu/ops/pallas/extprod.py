@@ -118,6 +118,115 @@ def split_polys_for_pallas(polys):
     return split_u64_signed(ext)                               # [8, R, O, 2N]
 
 
+def _add_carry(lo, hi, c_lo, c_hi):
+    s_lo = lo + c_lo
+    carry = (s_lo < lo).astype(jnp.uint32)
+    return s_lo, hi + c_hi + carry
+
+
+def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
+                       dig_ref, ext_ref, acc_ref, out_ref, part_ref):
+    """Grid (O, R) body with the u64 recombination + CMux accumulate fused in.
+
+    Per-(o, r) partial sums accumulate in VMEM scratch; at the last r the 8
+    shift buckets are combined into a (lo, hi) u32 pair and added to the
+    accumulator — the int32 partials never touch HBM (the unfused path wrote
+    8·[B, O, N] int32 per step, dominating step time at production shapes).
+    Block shapes:
+    dig_ref  [1, n_d, B, N]  int8   (limb planes of the digits, row r)
+    ext_ref  [1, 1, 8-j_start, 2N] int8 ((o, r) of [O, R, 8-j_start, 2N])
+    acc_ref  [1, 2, B, N]    uint32 (accumulator (lo, hi) pair, component o)
+    out_ref  [1, 2, B, N]    uint32 (new accumulator pair, component o)
+    part_ref [8, B, N]       int32  scratch (persists across the grid)
+
+    j_start > 0 drops the lowest BSK limb planes: their products land fully
+    below the blind-rotate noise floor (caller validates against the BSK
+    noise std), saving 2/15 of the MXU work at j_start=1.
+    """
+    r = pl.program_id(1)
+
+    @pl.when(r == 0)
+    def _init():
+        part_ref[...] = jnp.zeros_like(part_ref)
+
+    for j in range(j_start, 8):
+        if not any(i + j < 8 for i in range(n_d)):
+            continue
+        ncm = _nc_rows(ext_ref[0, 0, j - j_start: j - j_start + 1, :],
+                       n)[:, :n]                               # [N, N]
+        for i in range(n_d):
+            s = i + j
+            if s >= 8:
+                continue
+            contrib = jnp.dot(dig_ref[0, i], ncm,
+                              preferred_element_type=jnp.int32)
+            part_ref[s] = part_ref[s] + contrib
+
+    @pl.when(r == r_cnt - 1)
+    def _fini():
+        lo = acc_ref[0, 0]
+        hi = acc_ref[0, 1]
+        for s in range(j_start, 8):
+            val = part_ref[s]
+            v_lo = val.astype(jnp.uint32)
+            v_hi = (val >> 31).astype(jnp.uint32)   # arithmetic sign bits
+            sh = 8 * s
+            if sh == 0:
+                c_lo, c_hi = v_lo, v_hi
+            elif sh < 32:
+                c_lo = v_lo << jnp.uint32(sh)
+                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
+            else:
+                c_lo = jnp.zeros_like(v_lo)
+                c_hi = v_lo << jnp.uint32(sh - 32)
+            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+        out_ref[0, 0] = lo
+        out_ref[0, 1] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "j_start"))
+def extprod_step(digit_planes, ext_planes, acc_lo, acc_hi,
+                 interpret: bool | None = None, j_start: int = 0):
+    """One fused CMux update: acc + Σ_r digits_r ⊛ bsk_row_r, on u32 pairs.
+
+    digit_planes int8 [n_d, B, R, N]; ext_planes int8 [8-j_start, R, O, 2N]
+    (lowest j_start BSK limb planes pre-dropped by the caller, who must check
+    the truncation error sits below the BSK noise floor);
+    acc_lo/acc_hi uint32 [B, O, N] -> (new_lo, new_hi) uint32 [B, O, N].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_d, b, r, n = digit_planes.shape
+    j_cnt, r2, o, two_n = ext_planes.shape
+    assert r2 == r and two_n == 2 * n and j_cnt == 8 - j_start
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    dig_r_first = jnp.moveaxis(digit_planes, 2, 0)             # [R, n_d, B, N]
+    ext_or = jnp.transpose(ext_planes, (2, 1, 0, 3))           # [O, R, 8, 2N]
+    acc = jnp.stack([jnp.moveaxis(acc_lo, -2, 0),
+                     jnp.moveaxis(acc_hi, -2, 0)], axis=1)     # [O, 2, B, N]
+    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(o, r),
+            in_specs=[
+                pl.BlockSpec((1, n_d, b, n), lambda oo, rr: (rr, 0, 0, 0)),
+                pl.BlockSpec((1, 1, 8 - j_start, two_n),
+                             lambda oo, rr: (oo, rr, 0, 0)),
+                pl.BlockSpec((1, 2, b, n), lambda oo, rr: (oo, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, b, n), lambda oo, rr: (oo, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((8, b, n), jnp.int32)],
+            interpret=interpret,
+        )(dig_r_first, ext_or, acc)
+    new_lo = jnp.moveaxis(out[:, 0], 0, -2)                    # [B, O, N]
+    new_hi = jnp.moveaxis(out[:, 1], 0, -2)
+    return new_lo, new_hi
+
+
 def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
     """Grid (B, O, R) body for per-lane GGSW kernels (vertical packing: every
     batch lane has its own selector GGSW, shared by its G accumulators).
