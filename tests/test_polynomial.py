@@ -127,6 +127,35 @@ def test_blind_rotate_conv_path(keys_test, monkeypatch):
         assert np.abs(err).max() < 1 << 50, np.abs(err).max()
 
 
+def test_blind_rotate_fused_glue_matches_xla_glue(keys_test, monkeypatch):
+    """The fully fused CMux step (rot_diff_digits + extprod_step2) computes
+    the same arithmetic as the XLA-glue pallas path — trajectories must be
+    bit-identical for any TFHE_BSK_TRUNC setting."""
+    import jax
+    from tfhe_aes2_tpu.ops import blind_rotate as br
+    client, sks = keys_test
+    p = client.params
+    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    from tfhe_aes2_tpu.ops import keyswitch as ksw
+    bits = np.array([1, 0, 1, 1])
+    dual = ksw.keyswitch(jnp.asarray(client.encrypt_bits(bits)),
+                         sks_dev.ksk, p)
+    shifted = jnp.asarray(dual).at[..., -1].add(jnp.uint64(1 << 62))
+    acc_body = jnp.concatenate(
+        [jnp.zeros((p.glwe_dimension, p.polynomial_size), dtype=jnp.uint64),
+         jnp.full((1, p.polynomial_size), jnp.uint64(1) << jnp.uint64(60))],
+        axis=0)
+    for trunc in ("0", "1"):
+        monkeypatch.setenv("TFHE_BSK_TRUNC", trunc)
+        monkeypatch.setenv("TFHE_BR_GLUE", "xla")
+        ref = np.asarray(br.blind_rotate_glwe(
+            shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
+        monkeypatch.setenv("TFHE_BR_GLUE", "pallas")
+        got = np.asarray(br.blind_rotate_glwe(
+            shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_pallas_extprod_matches_shared():
     """The Pallas VMEM-negacirculant kernel (interpret mode) vs the
     reference matmul lowering."""
@@ -215,3 +244,10 @@ def test_pallas_extprod_step_fused_matches_unfused():
                                     acc_pair[0], acc_pair[1], interpret=True)
     got = np.asarray(up.to_u64(*got_pair))
     np.testing.assert_array_equal(got, expect)
+
+    # batch-tiled grid (large batches must split to respect the scoped-VMEM
+    # limit): max_tile=2 forces 4 batch tiles at batch=8
+    got_tiled = extprod.extprod_step(digit_planes, ext_planes,
+                                     acc_pair[0], acc_pair[1], interpret=True,
+                                     max_tile=2)
+    np.testing.assert_array_equal(np.asarray(up.to_u64(*got_tiled)), expect)

@@ -22,7 +22,20 @@ enabled at import). All O(N^2) compute is lowered to int8 limb-plane matmuls
 with int32 accumulation so the hot path runs on the TPU MXU exactly.
 """
 
-import jax
+import os
+
+# Raise the TPU scoped-VMEM (kernel stack) limit from the 16MB default: the
+# blind-rotate kernels batch-tile their VMEM scratch, and larger tiles
+# amortize the per-tile negacirculant builds (measured dominant at the
+# default limit). v5e has 128MB physical VMEM. Goes through LIBTPU_INIT_ARGS
+# (not XLA_FLAGS: the CPU XLA plugin fatally rejects TPU-only flags). Must be
+# set before the TPU backend initializes; respects a user-provided value.
+_FLAGS = os.environ.get("LIBTPU_INIT_ARGS", "")
+if "xla_tpu_scoped_vmem_limit_kib" not in _FLAGS:
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        _FLAGS + " --xla_tpu_scoped_vmem_limit_kib=65536").strip()
+
+import jax  # noqa: E402
 
 # 64-bit torus arithmetic requires x64 mode. Must happen before any tracing.
 jax.config.update("jax_enable_x64", True)

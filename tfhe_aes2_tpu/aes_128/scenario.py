@@ -33,8 +33,13 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
                                    key_clear: bytes, iv: bytes,
                                    block_count: int,
                                    strategy=fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt,
-                                   verify: bool = True):
-    """Returns (decrypted blocks, timings dict)."""
+                                   verify: bool = True, rounds: int = 10):
+    """Returns (decrypted blocks, timings dict).
+
+    rounds < 10 is a development mode (not in the reference CLI): the result
+    is verified against the first-party partial-round plain oracle instead of
+    the AES authority (test_helper.rs uses the same oracle split).
+    """
     # Client side: FHE encrypt AES key and CTR blocks
     key_ct = strategy.encrypt_key_client(client, key_clear)
     blocks_clear = ctr_blocks(iv, block_count)
@@ -51,7 +56,7 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
     # Server side: block encryption (main.rs:141-159)
     t0 = time.time()
     out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks,
-                                        jnp.asarray(block_cts), 10)
+                                        jnp.asarray(block_cts), rounds)
     out.array.block_until_ready()
     t_blocks = time.time() - t0
     out = out.array
@@ -61,7 +66,14 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
     # Client side: decrypt and verify against the independent AES authority
     decrypted = strategy.decrypt_client(client, np.asarray(out))
     if verify:
-        expect = aes_lib.encrypt_blocks(key_clear, blocks_clear)
-        assert decrypted == expect, "FHE AES output mismatch vs AES authority"
+        if rounds == 10:
+            expect = aes_lib.encrypt_blocks(key_clear, blocks_clear)
+            oracle = "AES authority"
+        else:
+            from tfhe_aes2_tpu.aes_128 import plain
+            expect = plain.expand_key_and_encrypt_blocks(
+                key_clear, blocks_clear, rounds)
+            oracle = f"plain {rounds}-round oracle"
+        assert decrypted == expect, f"FHE AES output mismatch vs {oracle}"
     return decrypted, {"key_expansion_s": t_expand, "blocks_s": t_blocks,
                        "blocks_per_s": block_count / t_blocks}

@@ -21,6 +21,15 @@ def main(argv=None) -> int:
                              "shortint-1bit"])
     ap.add_argument("--seed", type=int, default=0, help="key generation seed")
     ap.add_argument("--log-level", type=str, default="INFO")
+    ap.add_argument("--params", type=str, default="lvl64",
+                    choices=["lvl1", "lvl4", "lvl64", "lvl256", "test",
+                             "test-n256"],
+                    help="parameter set for the 1-bit model (dev flag, not in "
+                         "the reference CLI; 'test' sets are INSECURE and for "
+                         "fast CPU runs only)")
+    ap.add_argument("--rounds", type=int, default=10,
+                    help="AES rounds (dev flag; <10 verifies against the "
+                         "partial-round plain oracle)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=args.log_level,
@@ -39,8 +48,15 @@ def main(argv=None) -> int:
 
     if args.implementation == "shortint-woppbs-1bit":
         from tfhe_aes2_tpu.models import shortint_woppbs_1bit as model
-        print("generating keys (sqrd_lvl_64)...")
-        client, ctx = model.generate_keys_sqrd_lvl_64(seed=args.seed)
+        from tfhe_aes2_tpu.ops import params as params_mod
+        pset = {"lvl1": params_mod.PARAMS_SQRD_LVL_1,
+                "lvl4": params_mod.PARAMS_SQRD_LVL_4,
+                "lvl64": params_mod.PARAMS_SQRD_LVL_64,
+                "lvl256": params_mod.PARAMS_SQRD_LVL_256,
+                "test": params_mod.PARAMS_TEST,
+                "test-n256": params_mod.PARAMS_TEST_N256}[args.params]
+        print(f"generating keys ({args.params})...")
+        client, ctx = model.generate_keys(pset, seed=args.seed)
         strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
     elif args.implementation == "shortint-woppbs-8bit":
         from tfhe_aes2_tpu.models import shortint_woppbs_8bit as model
@@ -53,8 +69,10 @@ def main(argv=None) -> int:
                  "those tests for the same reason, fhe_impls/shortint_1bit.rs:81-83)")
 
     run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs,
-                                   strategy=strategy)
-    print("ok: FHE keystream verified against AES authority")
+                                   strategy=strategy, rounds=args.rounds)
+    oracle = ("AES authority" if args.rounds == 10
+              else f"plain {args.rounds}-round oracle")
+    print(f"ok: FHE keystream verified against {oracle}")
     return 0
 
 

@@ -164,6 +164,30 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
         else:
             bsk_planes = jax.vmap(polynomial.split_polys_for_conv)(bsk_rows)
 
+        if mode == "pallas" and _os.environ.get("TFHE_BR_GLUE", "pallas") != "xla":
+            # Fully fused CMux step: two pallas calls (rot/diff/decompose
+            # glue + matmul/recombine); the [O, 2, B, N] u32 accumulator is
+            # the scan carry, so no XLA glue or layout change runs between
+            # steps.
+            ext_or_all = jnp.transpose(bsk_planes, (0, 3, 2, 1, 4))
+            # [n_lwe, O(k1), R, 8-j_start, 2N]
+            acc_pair0 = up.from_u64(acc.reshape((batch_flat, k1, n)))
+            acc_of = jnp.stack([jnp.moveaxis(acc_pair0[0], -2, 0),
+                                jnp.moveaxis(acc_pair0[1], -2, 0)], axis=1)
+
+            def step_fused(acc_of, xs):
+                ext_or, a_i = xs
+                dig = extprod.rot_diff_digits(
+                    acc_of, a_i.reshape((batch_flat,)),
+                    p.pbs_base_log, p.pbs_level, n_d)
+                return extprod.extprod_step2(
+                    dig, ext_or, acc_of, j_start=j_start), None
+
+            acc_of, _ = jax.lax.scan(step_fused, acc_of, (ext_or_all, a_steps))
+            out = up.to_u64(jnp.moveaxis(acc_of[:, 0], 0, -2),
+                            jnp.moveaxis(acc_of[:, 1], 0, -2))
+            return out.reshape(batch_shape + (k1, n))
+
         acc_pair = up.from_u64(acc.reshape((batch_flat, k1, n)))
 
         def step(acc_pair, xs):

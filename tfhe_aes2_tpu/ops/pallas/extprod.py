@@ -126,13 +126,15 @@ def _add_carry(lo, hi, c_lo, c_hi):
 
 def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
                        dig_ref, ext_ref, acc_ref, out_ref, part_ref):
-    """Grid (O, R) body with the u64 recombination + CMux accumulate fused in.
+    """Grid (BT, O, R) body with u64 recombination + CMux accumulate fused in.
 
-    Per-(o, r) partial sums accumulate in VMEM scratch; at the last r the 8
-    shift buckets are combined into a (lo, hi) u32 pair and added to the
+    Per-(bt, o, r) partial sums accumulate in VMEM scratch; at the last r the
+    8 shift buckets are combined into a (lo, hi) u32 pair and added to the
     accumulator — the int32 partials never touch HBM (the unfused path wrote
     8·[B, O, N] int32 per step, dominating step time at production shapes).
-    Block shapes:
+    The batch-tile grid axis keeps the scratch within the scoped-VMEM limit
+    at large batches.
+    Block shapes (B = one batch tile):
     dig_ref  [1, n_d, B, N]  int8   (limb planes of the digits, row r)
     ext_ref  [1, 1, 8-j_start, 2N] int8 ((o, r) of [O, R, 8-j_start, 2N])
     acc_ref  [1, 2, B, N]    uint32 (accumulator (lo, hi) pair, component o)
@@ -143,7 +145,7 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
     below the blind-rotate noise floor (caller validates against the BSK
     noise std), saving 2/15 of the MXU work at j_start=1.
     """
-    r = pl.program_id(1)
+    r = pl.program_id(2)
 
     @pl.when(r == 0)
     def _init():
@@ -184,9 +186,11 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
         out_ref[0, 1] = hi
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "j_start"))
+@functools.partial(jax.jit, static_argnames=("interpret", "j_start",
+                                              "max_tile"))
 def extprod_step(digit_planes, ext_planes, acc_lo, acc_hi,
-                 interpret: bool | None = None, j_start: int = 0):
+                 interpret: bool | None = None, j_start: int = 0,
+                 max_tile: int = 256):
     """One fused CMux update: acc + Σ_r digits_r ⊛ bsk_row_r, on u32 pairs.
 
     digit_planes int8 [n_d, B, R, N]; ext_planes int8 [8-j_start, R, O, 2N]
@@ -202,6 +206,15 @@ def extprod_step(digit_planes, ext_planes, acc_lo, acc_hi,
 
     from jax.experimental.pallas import tpu as pltpu
 
+    # Batch tile: scratch + double-buffered in/out blocks must stay within
+    # the ~16MB scoped-VMEM limit (bt=512 measured 17MB at N=512; bt=256
+    # halves every batch-extent buffer).
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
     dig_r_first = jnp.moveaxis(digit_planes, 2, 0)             # [R, n_d, B, N]
     ext_or = jnp.transpose(ext_planes, (2, 1, 0, 3))           # [O, R, 8, 2N]
     acc = jnp.stack([jnp.moveaxis(acc_lo, -2, 0),
@@ -210,21 +223,221 @@ def extprod_step(digit_planes, ext_planes, acc_lo, acc_hi,
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
-            grid=(o, r),
+            grid=(n_bt, o, r),
             in_specs=[
-                pl.BlockSpec((1, n_d, b, n), lambda oo, rr: (rr, 0, 0, 0)),
+                pl.BlockSpec((1, n_d, bt, n), lambda bb, oo, rr: (rr, 0, bb, 0)),
                 pl.BlockSpec((1, 1, 8 - j_start, two_n),
-                             lambda oo, rr: (oo, rr, 0, 0)),
-                pl.BlockSpec((1, 2, b, n), lambda oo, rr: (oo, 0, 0, 0)),
+                             lambda bb, oo, rr: (oo, rr, 0, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, rr: (oo, 0, bb, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 2, b, n), lambda oo, rr: (oo, 0, 0, 0)),
+            out_specs=pl.BlockSpec((1, 2, bt, n),
+                                   lambda bb, oo, rr: (oo, 0, bb, 0)),
             out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
-            scratch_shapes=[pltpu.VMEM((8, b, n), jnp.int32)],
+            scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
             interpret=interpret,
         )(dig_r_first, ext_or, acc)
     new_lo = jnp.moveaxis(out[:, 0], 0, -2)                    # [B, O, N]
     new_hi = jnp.moveaxis(out[:, 1], 0, -2)
     return new_lo, new_hi
+
+
+def _rot_diff_digits_kernel(n: int, base_log: int, levels: int, n_d: int,
+                            t_ref, acc_ref, out_ref):
+    """Grid (BT, U) body: X^t·acc - acc, gadget-decomposed and split to int8
+    limb planes, entirely in VMEM.
+
+    The XLA formulation of this glue (binary rotation ladder + u32-pair
+    decompose + plane split between two pallas calls) round-trips the
+    accumulator and digit tensors through HBM several times per CMux step;
+    here the only HBM traffic is one read of the accumulator component and
+    one write of the int8 planes.
+
+    Block shapes (B = one batch tile):
+    t_ref   [B, 1]            int32  (mod-switched mask element, in [0, 2N))
+    acc_ref [1, 2, B, N]      uint32 (accumulator (lo, hi), component u)
+    out_ref [1, L, n_d, B, N] int8   (digit limb planes of rows (u, l))
+    """
+    lo0 = acc_ref[0, 0]
+    hi0 = acc_ref[0, 1]
+    t = t_ref[...]                                          # [B, 1]
+
+    # rotation ladder: X^t by static negacyclic shifts + vector selects
+    # (every bit k of t < 2N has 2^k <= N, so only shift-by-2^k and the
+    # X^N = -1 cases occur)
+    lo, hi = lo0, hi0
+    for k in range((2 * n).bit_length() - 1):
+        shift = 1 << k
+        if shift == n:
+            # X^N = -1: pure negation, no rotation
+            r_lo = jnp.uint32(0) - lo
+            borrow = (lo != 0).astype(jnp.uint32)
+            r_hi = jnp.uint32(0) - hi - borrow
+        else:
+            # rotate right by `shift` with sign flip on the wrapped tail
+            t_lo = jnp.uint32(0) - lo[..., n - shift:]
+            t_borrow = (lo[..., n - shift:] != 0).astype(jnp.uint32)
+            t_hi = jnp.uint32(0) - hi[..., n - shift:] - t_borrow
+            r_lo = jnp.concatenate([t_lo, lo[..., : n - shift]], axis=-1)
+            r_hi = jnp.concatenate([t_hi, hi[..., : n - shift]], axis=-1)
+        take = ((t >> k) & 1) == 1                          # [B, 1]
+        lo = jnp.where(take, r_lo, lo)
+        hi = jnp.where(take, r_hi, hi)
+
+    # diff = rot - acc (borrow subtract)
+    d_lo = lo - lo0
+    borrow = (lo < lo0).astype(jnp.uint32)
+    d_hi = hi - hi0 - borrow
+
+    # gadget decompose (u32pair.decompose, inlined): round then field-extract
+    b = base_log
+    total = b * levels
+    shift = 64 - total
+    if shift > 0:
+        if shift - 1 < 32:
+            rlo = d_lo + (jnp.uint32(1) << jnp.uint32(shift - 1))
+            carry = (rlo < d_lo).astype(jnp.uint32)
+            rhi = d_hi + carry
+        else:
+            rlo = d_lo
+            rhi = d_hi + (jnp.uint32(1) << jnp.uint32(shift - 1 - 32))
+    else:
+        rlo, rhi = d_lo, d_hi
+    if shift == 0:
+        r_lo, r_hi = rlo, rhi
+    elif shift < 32:
+        r_lo = (rlo >> jnp.uint32(shift)) | (rhi << jnp.uint32(32 - shift))
+        r_hi = rhi >> jnp.uint32(shift)
+    else:
+        r_lo = rhi >> jnp.uint32(shift - 32) if shift > 32 else rhi
+        r_hi = jnp.zeros_like(rhi)
+    h = sum(1 << (b - 1 + b * l) for l in range(levels))
+    y_lo = r_lo + jnp.uint32(h & 0xFFFFFFFF)
+    carry = (y_lo < r_lo).astype(jnp.uint32)
+    y_hi = r_hi + jnp.uint32((h >> 32) & 0xFFFFFFFF) + carry
+
+    half = 1 << (b - 1)
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    off = jnp.int32(sum(128 << (8 * i) for i in range(n_d - 1)))
+    for l in range(levels):  # most significant level first
+        pos = b * (levels - 1 - l)
+        if pos >= 32:
+            field = (y_hi >> jnp.uint32(pos - 32)) & mask
+        elif pos + b <= 32:
+            field = (y_lo >> jnp.uint32(pos)) & mask
+        else:
+            field = ((y_lo >> jnp.uint32(pos)) |
+                     (y_hi << jnp.uint32(32 - pos))) & mask
+        digit = field.astype(jnp.int32) - half
+        # balanced base-256 split to n_d int8 planes
+        y = digit + off
+        for i in range(n_d):
+            if i < n_d - 1:
+                p = ((y >> (8 * i)) & 0xFF) - 128
+            else:
+                p = y >> (8 * i)
+            out_ref[0, l, i] = p.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("base_log", "levels", "n_d",
+                                              "interpret", "max_tile"))
+def rot_diff_digits(acc, t, base_log: int, levels: int, n_d: int,
+                    interpret: bool | None = None,
+                    max_tile: int | None = None):
+    """Fused CMux-step glue: digit limb planes of X^t·acc - acc.
+
+    acc: uint32 [k+1, 2, B, N] (component-major (lo, hi) accumulator —
+         the layout extprod_step2 carries through the blind-rotate scan).
+    t:   int32 [B] in [0, 2N).
+    Returns int8 [R=(k+1)·levels, n_d, B, N], row r = u·levels + l — exactly
+    the dig_r_first layout extprod_step2 consumes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if max_tile is None:
+        max_tile = _default_tile()
+    k1, two, b, n = acc.shape
+    assert two == 2
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    t2 = t.reshape(b, 1).astype(jnp.int32)
+    kern = functools.partial(_rot_diff_digits_kernel, n, base_log, levels, n_d)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_bt, k1),
+            in_specs=[
+                pl.BlockSpec((bt, 1), lambda bb, uu: (bb, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, uu: (uu, 0, bb, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, levels, n_d, bt, n),
+                                   lambda bb, uu: (uu, 0, 0, bb, 0)),
+            out_shape=jax.ShapeDtypeStruct((k1, levels, n_d, b, n), jnp.int8),
+            interpret=interpret,
+        )(t2, acc)
+    return out.reshape(k1 * levels, n_d, b, n)
+
+
+def _default_tile() -> int:
+    """Batch tile for the fused blind-rotate kernels. Larger tiles amortize
+    the per-(o, r) in-VMEM negacirculant builds (measured dominant at small
+    tiles); the ceiling is the scoped-VMEM limit, raised to 64MB at package
+    import. Override with TFHE_BT."""
+    import os
+    return int(os.environ.get("TFHE_BT", "1024"))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "j_start",
+                                              "max_tile"))
+def extprod_step2(dig_r_first, ext_or, acc,
+                  interpret: bool | None = None, j_start: int = 0,
+                  max_tile: int | None = None):
+    """extprod_step on pre-transposed layouts: the whole-scan carry stays in
+    the kernel-native [O, 2, B, N] accumulator layout, so a CMux step is
+    exactly two pallas calls (rot_diff_digits + this) with no XLA glue.
+    The acc input is aliased with the output (no extra HBM buffer or copy).
+
+    dig_r_first: int8 [R, n_d, B, N]; ext_or: int8 [O, R, 8-j_start, 2N];
+    acc: uint32 [O, 2, B, N] -> new acc uint32 [O, 2, B, N].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if max_tile is None:
+        max_tile = _default_tile()
+    r, n_d, b, n = dig_r_first.shape
+    o, r2, j_cnt, two_n = ext_or.shape
+    assert r2 == r and two_n == 2 * n and j_cnt == 8 - j_start
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_bt, o, r),
+            in_specs=[
+                pl.BlockSpec((1, n_d, bt, n), lambda bb, oo, rr: (rr, 0, bb, 0)),
+                pl.BlockSpec((1, 1, 8 - j_start, two_n),
+                             lambda bb, oo, rr: (oo, rr, 0, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, rr: (oo, 0, bb, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, bt, n),
+                                   lambda bb, oo, rr: (oo, 0, bb, 0)),
+            out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(dig_r_first, ext_or, acc)
+    return out
 
 
 def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
