@@ -75,13 +75,15 @@ def main() -> int:
             log(f"[kb] {name:9s} FAIL {type(ex).__name__} {str(ex)[:300]}")
 
     # ---- full production step ----
-    @jax.jit
-    def run_full(acc, dig_in, ext_in):
-        def step(a, xs):
-            d, e = xs
-            return extprod.extprod_step2(d, e, a, j_start=js), None
-        a, _ = jax.lax.scan(step, acc, (dig_in, ext_in))
-        return a.astype(jnp.uint32).sum()
+    def make_full(step_fn):
+        @jax.jit
+        def run_full(acc, dig_in, ext_in):
+            def step(a, xs):
+                d, e = xs
+                return step_fn(d, e, a, j_start=js), None
+            a, _ = jax.lax.scan(step, acc, (dig_in, ext_in))
+            return a.astype(jnp.uint32).sum()
+        return run_full
 
     # ---- variant kernels ----
     def kern_dots(mode, dig_ref, ext_ref, acc_ref, out_ref, part_ref):
@@ -156,7 +158,19 @@ def main() -> int:
         return a.astype(jnp.uint32).sum()
 
     if "full" in which:
-        timeit("full", run_full, acc0, dig, ext)
+        timeit("full", make_full(extprod.extprod_step2), acc0, dig, ext)
+    if "bucket" in which:
+        timeit("bucket", make_full(extprod.extprod_step3), acc0, dig, ext)
+    if "merged" in which:
+        @jax.jit
+        def run_merged(acc, ts_in, ext_in):
+            def step(a, xs):
+                t_i, e = xs
+                return extprod.cmux_step_merged(
+                    t_i, e, a, p.pbs_base_log, p.pbs_level, j_start=js), None
+            a, _ = jax.lax.scan(step, acc, (ts_in, ext_in))
+            return a.astype(jnp.uint32).sum()
+        timeit("merged", run_merged, acc0, ts, ext)
     if "dots" in which:
         timeit("dots", make_variant("dots"), acc0, dig, ext)
     if "noaccum" in which:

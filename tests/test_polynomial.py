@@ -151,9 +151,12 @@ def test_blind_rotate_fused_glue_matches_xla_glue(keys_test, monkeypatch):
         ref = np.asarray(br.blind_rotate_glwe(
             shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
         monkeypatch.setenv("TFHE_BR_GLUE", "pallas")
-        got = np.asarray(br.blind_rotate_glwe(
-            shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
-        np.testing.assert_array_equal(got, ref)
+        for kern in ("merged", "grid", "bucket"):
+            monkeypatch.setenv("TFHE_BR_KERNEL", kern)
+            got = np.asarray(br.blind_rotate_glwe(
+                shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f"kern={kern} trunc={trunc}")
 
 
 def test_pallas_extprod_matches_shared():
@@ -251,3 +254,22 @@ def test_pallas_extprod_step_fused_matches_unfused():
                                      acc_pair[0], acc_pair[1], interpret=True,
                                      max_tile=2)
     np.testing.assert_array_equal(np.asarray(up.to_u64(*got_tiled)), expect)
+
+    # pre-transposed layouts: step2 (grid (bt,o,r)) and step3 (bucket-major
+    # dot chains) against the same expectation, incl. j_start truncation
+    import jax.numpy as jnp2
+    dig_rf = jnp2.moveaxis(digit_planes, 2, 0)          # [R, n_d, B, N]
+    acc_of = jnp2.stack([jnp2.moveaxis(acc_pair[0], -2, 0),
+                         jnp2.moveaxis(acc_pair[1], -2, 0)], axis=1)
+    for js in (0, 1):
+        ext_or = jnp2.transpose(ext_planes[js:], (2, 1, 0, 3))
+        exp_pair = extprod.extprod_step(digit_planes, ext_planes[js:],
+                                        acc_pair[0], acc_pair[1],
+                                        interpret=True, j_start=js)
+        exp_of = np.asarray(up.to_u64(*exp_pair)).transpose(1, 0, 2)
+        for step_fn in (extprod.extprod_step2, extprod.extprod_step3):
+            got_of = np.asarray(step_fn(dig_rf, ext_or, acc_of,
+                                        interpret=True, j_start=js))
+            got_u64 = np.asarray(up.to_u64(got_of[:, 0], got_of[:, 1]))
+            np.testing.assert_array_equal(got_u64, exp_of,
+                                          err_msg=f"{step_fn.__name__} js={js}")

@@ -223,14 +223,33 @@ def key_schedule_staged(strategy, ctx, key_arr):
     return strategy.fresh(eks_arr, ctx, lane_ndim=3)
 
 
-def encrypt_blocks_staged(strategy, ctx, eks, blocks_arr, rounds: int):
-    """AES rounds via two reused compiled round kernels (middle/final)."""
+def _staged_rounds_scan(strategy, params, sks, state_arr, kgs_arr):
+    """All middle rounds in ONE program: lax.scan over the stacked round
+    keys. Each program dispatch through a tunneled accelerator pays a
+    ~70-100ms floor, so 9 per-round dispatches cost ~0.7s/run; the scan body
+    compiles once (same cost as a single round program)."""
     import jax.numpy as jnp
-    from tfhe_aes2_tpu.aes_128 import data_model as dm
+
+    ctx = strategy.make_context(params, sks)
+    ops = strategy.make_ops(ctx)
+    kw = {} if ops is None else {"ops": ops}
+
+    def body(state_a, kg_a):
+        state = strategy.fresh(state_a, ctx, lane_ndim=2)
+        key_group = strategy.fresh(kg_a, ctx, lane_ndim=2)
+        return strategy.pipeline.middle_round(ctx, state, key_group,
+                                              **kw).array, None
+
+    out, _ = jax.lax.scan(body, jnp.asarray(state_arr), kgs_arr)
+    return out
+
+
+def encrypt_blocks_staged(strategy, ctx, eks, blocks_arr, rounds: int):
+    """AES rounds via two reused compiled kernels: one scan program covering
+    all middle rounds + the final round program."""
+    import jax.numpy as jnp
 
     params = ctx.params
-    mid_fn = _kernel(ctx, ("round_mid", jnp.shape(blocks_arr)), lambda: jax.jit(
-        partial(_staged_round, strategy, params, False)))
     fin_fn = _kernel(ctx, ("round_fin", jnp.shape(blocks_arr)), lambda: jax.jit(
         partial(_staged_round, strategy, params, True)))
 
@@ -238,8 +257,12 @@ def encrypt_blocks_staged(strategy, ctx, eks, blocks_arr, rounds: int):
     kg = lambda i: eks_arr[4 * i: 4 * i + 4].reshape((16, 8) + eks_arr.shape[-1:])
 
     state = jnp.asarray(blocks_arr) + kg(0)  # AddRoundKey (one eager add)
-    for i in range(1, rounds):
-        state = mid_fn(ctx.sks, state, kg(i))
+    if rounds > 1:
+        mids_fn = _kernel(
+            ctx, ("rounds_scan", jnp.shape(blocks_arr), rounds),
+            lambda: jax.jit(partial(_staged_rounds_scan, strategy, params)))
+        kgs = jnp.stack([kg(i) for i in range(1, rounds)])
+        state = mids_fn(ctx.sks, state, kgs)
     state = fin_fn(ctx.sks, state, kg(10))
     return strategy.fresh(state, ctx, lane_ndim=2)
 

@@ -175,12 +175,30 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             acc_of = jnp.stack([jnp.moveaxis(acc_pair0[0], -2, 0),
                                 jnp.moveaxis(acc_pair0[1], -2, 0)], axis=1)
 
+            # TFHE_BR_KERNEL selects the step lowering (v5e measurements,
+            # B=512 production shapes):
+            #   grid (default, 1.17ms/step): two calls per step
+            #     (rot_diff_digits glue + extprod_step2 dots/recombine)
+            #   merged (4.2ms/step): whole step in ONE pallas call — the
+            #     dynamic scratch/accumulator indexing it needs defeats
+            #     Mosaic (dynamic-slice copies per dot)
+            #   bucket (3.5ms/step): extprod_step3 same-target dot chains —
+            #     Mosaic does not fuse them into MXU accumulation, so it
+            #     just doubles the negacirculant builds
+            kern_kind = _os.environ.get("TFHE_BR_KERNEL", "grid")
+
             def step_fused(acc_of, xs):
                 ext_or, a_i = xs
+                if kern_kind == "merged":
+                    return extprod.cmux_step_merged(
+                        a_i.reshape((batch_flat,)), ext_or, acc_of,
+                        p.pbs_base_log, p.pbs_level, j_start=j_start), None
+                step_kernel = (extprod.extprod_step3 if kern_kind == "bucket"
+                               else extprod.extprod_step2)
                 dig = extprod.rot_diff_digits(
                     acc_of, a_i.reshape((batch_flat,)),
                     p.pbs_base_log, p.pbs_level, n_d)
-                return extprod.extprod_step2(
+                return step_kernel(
                     dig, ext_or, acc_of, j_start=j_start), None
 
             acc_of, _ = jax.lax.scan(step_fused, acc_of, (ext_or_all, a_steps))

@@ -257,85 +257,11 @@ def _rot_diff_digits_kernel(n: int, base_log: int, levels: int, n_d: int,
     acc_ref [1, 2, B, N]      uint32 (accumulator (lo, hi), component u)
     out_ref [1, L, n_d, B, N] int8   (digit limb planes of rows (u, l))
     """
-    lo0 = acc_ref[0, 0]
-    hi0 = acc_ref[0, 1]
-    t = t_ref[...]                                          # [B, 1]
+    def write_plane(l, i, p):
+        out_ref[0, l, i] = p
 
-    # rotation ladder: X^t by static negacyclic shifts + vector selects
-    # (every bit k of t < 2N has 2^k <= N, so only shift-by-2^k and the
-    # X^N = -1 cases occur)
-    lo, hi = lo0, hi0
-    for k in range((2 * n).bit_length() - 1):
-        shift = 1 << k
-        if shift == n:
-            # X^N = -1: pure negation, no rotation
-            r_lo = jnp.uint32(0) - lo
-            borrow = (lo != 0).astype(jnp.uint32)
-            r_hi = jnp.uint32(0) - hi - borrow
-        else:
-            # rotate right by `shift` with sign flip on the wrapped tail
-            t_lo = jnp.uint32(0) - lo[..., n - shift:]
-            t_borrow = (lo[..., n - shift:] != 0).astype(jnp.uint32)
-            t_hi = jnp.uint32(0) - hi[..., n - shift:] - t_borrow
-            r_lo = jnp.concatenate([t_lo, lo[..., : n - shift]], axis=-1)
-            r_hi = jnp.concatenate([t_hi, hi[..., : n - shift]], axis=-1)
-        take = ((t >> k) & 1) == 1                          # [B, 1]
-        lo = jnp.where(take, r_lo, lo)
-        hi = jnp.where(take, r_hi, hi)
-
-    # diff = rot - acc (borrow subtract)
-    d_lo = lo - lo0
-    borrow = (lo < lo0).astype(jnp.uint32)
-    d_hi = hi - hi0 - borrow
-
-    # gadget decompose (u32pair.decompose, inlined): round then field-extract
-    b = base_log
-    total = b * levels
-    shift = 64 - total
-    if shift > 0:
-        if shift - 1 < 32:
-            rlo = d_lo + (jnp.uint32(1) << jnp.uint32(shift - 1))
-            carry = (rlo < d_lo).astype(jnp.uint32)
-            rhi = d_hi + carry
-        else:
-            rlo = d_lo
-            rhi = d_hi + (jnp.uint32(1) << jnp.uint32(shift - 1 - 32))
-    else:
-        rlo, rhi = d_lo, d_hi
-    if shift == 0:
-        r_lo, r_hi = rlo, rhi
-    elif shift < 32:
-        r_lo = (rlo >> jnp.uint32(shift)) | (rhi << jnp.uint32(32 - shift))
-        r_hi = rhi >> jnp.uint32(shift)
-    else:
-        r_lo = rhi >> jnp.uint32(shift - 32) if shift > 32 else rhi
-        r_hi = jnp.zeros_like(rhi)
-    h = sum(1 << (b - 1 + b * l) for l in range(levels))
-    y_lo = r_lo + jnp.uint32(h & 0xFFFFFFFF)
-    carry = (y_lo < r_lo).astype(jnp.uint32)
-    y_hi = r_hi + jnp.uint32((h >> 32) & 0xFFFFFFFF) + carry
-
-    half = 1 << (b - 1)
-    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
-    off = jnp.int32(sum(128 << (8 * i) for i in range(n_d - 1)))
-    for l in range(levels):  # most significant level first
-        pos = b * (levels - 1 - l)
-        if pos >= 32:
-            field = (y_hi >> jnp.uint32(pos - 32)) & mask
-        elif pos + b <= 32:
-            field = (y_lo >> jnp.uint32(pos)) & mask
-        else:
-            field = ((y_lo >> jnp.uint32(pos)) |
-                     (y_hi << jnp.uint32(32 - pos))) & mask
-        digit = field.astype(jnp.int32) - half
-        # balanced base-256 split to n_d int8 planes
-        y = digit + off
-        for i in range(n_d):
-            if i < n_d - 1:
-                p = ((y >> (8 * i)) & 0xFF) - 128
-            else:
-                p = y >> (8 * i)
-            out_ref[0, l, i] = p.astype(jnp.int8)
+    _glue_body(n, base_log, levels, n_d, acc_ref[0, 0], acc_ref[0, 1],
+               t_ref[...], write_plane)
 
 
 @functools.partial(jax.jit, static_argnames=("base_log", "levels", "n_d",
@@ -432,6 +358,306 @@ def extprod_step2(dig_r_first, ext_or, acc,
             ],
             out_specs=pl.BlockSpec((1, 2, bt, n),
                                    lambda bb, oo, rr: (oo, 0, bb, 0)),
+            out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(dig_r_first, ext_or, acc)
+    return out
+
+
+def _glue_body(n: int, base_log: int, levels: int, n_d: int,
+               lo0, hi0, t, write_plane):
+    """Rotation ladder + diff + decompose + int8 split for one accumulator
+    component; emits each digit limb plane via write_plane(l, i, plane).
+    Shared by the merged CMux kernel and rot_diff_digits."""
+    lo, hi = lo0, hi0
+    for k in range((2 * n).bit_length() - 1):
+        shift = 1 << k
+        if shift == n:
+            r_lo = jnp.uint32(0) - lo
+            borrow = (lo != 0).astype(jnp.uint32)
+            r_hi = jnp.uint32(0) - hi - borrow
+        else:
+            t_lo = jnp.uint32(0) - lo[..., n - shift:]
+            t_borrow = (lo[..., n - shift:] != 0).astype(jnp.uint32)
+            t_hi = jnp.uint32(0) - hi[..., n - shift:] - t_borrow
+            r_lo = jnp.concatenate([t_lo, lo[..., : n - shift]], axis=-1)
+            r_hi = jnp.concatenate([t_hi, hi[..., : n - shift]], axis=-1)
+        take = ((t >> k) & 1) == 1
+        lo = jnp.where(take, r_lo, lo)
+        hi = jnp.where(take, r_hi, hi)
+
+    d_lo = lo - lo0
+    borrow = (lo < lo0).astype(jnp.uint32)
+    d_hi = hi - hi0 - borrow
+
+    b = base_log
+    total = b * levels
+    shift = 64 - total
+    if shift > 0:
+        if shift - 1 < 32:
+            rlo = d_lo + (jnp.uint32(1) << jnp.uint32(shift - 1))
+            carry = (rlo < d_lo).astype(jnp.uint32)
+            rhi = d_hi + carry
+        else:
+            rlo = d_lo
+            rhi = d_hi + (jnp.uint32(1) << jnp.uint32(shift - 1 - 32))
+    else:
+        rlo, rhi = d_lo, d_hi
+    if shift == 0:
+        r_lo, r_hi = rlo, rhi
+    elif shift < 32:
+        r_lo = (rlo >> jnp.uint32(shift)) | (rhi << jnp.uint32(32 - shift))
+        r_hi = rhi >> jnp.uint32(shift)
+    else:
+        r_lo = rhi >> jnp.uint32(shift - 32) if shift > 32 else rhi
+        r_hi = jnp.zeros_like(rhi)
+    h = sum(1 << (b - 1 + b * l) for l in range(levels))
+    y_lo = r_lo + jnp.uint32(h & 0xFFFFFFFF)
+    carry = (y_lo < r_lo).astype(jnp.uint32)
+    y_hi = r_hi + jnp.uint32((h >> 32) & 0xFFFFFFFF) + carry
+
+    half = 1 << (b - 1)
+    mask = jnp.uint32((1 << b) - 1) if b < 32 else jnp.uint32(0xFFFFFFFF)
+    off = jnp.int32(sum(128 << (8 * i) for i in range(n_d - 1)))
+    for l in range(levels):
+        pos = b * (levels - 1 - l)
+        if pos >= 32:
+            field = (y_hi >> jnp.uint32(pos - 32)) & mask
+        elif pos + b <= 32:
+            field = (y_lo >> jnp.uint32(pos)) & mask
+        else:
+            field = ((y_lo >> jnp.uint32(pos)) |
+                     (y_hi << jnp.uint32(32 - pos))) & mask
+        digit = field.astype(jnp.int32) - half
+        y = digit + off
+        for i in range(n_d):
+            if i < n_d - 1:
+                p = ((y >> (8 * i)) & 0xFF) - 128
+            else:
+                p = y >> (8 * i)
+            write_plane(l, i, p.astype(jnp.int8))
+
+
+def _kernel_merged(n_d: int, n: int, k1: int, levels: int, base_log: int,
+                   r_cnt: int, j_start: int,
+                   t_ref, ext_ref, acc_ref, out_ref, dig_ref, part_ref):
+    """Grid (BT, O, R) body: the COMPLETE CMux step in one kernel — glue
+    (rotation/diff/decompose/split, run once per component on the oo==0
+    pass, digits kept in VMEM scratch) + negacirculant dots + u64
+    recombination/accumulate. One pallas launch per blind-rotate step; the
+    digit planes never touch HBM.
+
+    Block shapes (B = one batch tile):
+    t_ref    [B, 1]                int32  (mod-switched mask element)
+    ext_ref  [1, 1, 8-j_start, 2N] int8   ((o, r) of [O, R, ., 2N])
+    acc_ref  [k1, 2, B, N]         uint32 (FULL accumulator, batch tile bb)
+    out_ref  [k1, 2, B, N]         uint32 (aliased with acc)
+    dig_ref  [R, n_d, B, N]        int8   scratch (current tile's digits)
+    part_ref [8, B, N]             int32  scratch
+    """
+    oo = pl.program_id(1)
+    r = pl.program_id(2)
+
+    for u in range(k1):
+        @pl.when(jnp.logical_and(oo == 0, r == u * levels))
+        def _glue(u=u):
+            def write_plane(l, i, p):
+                dig_ref[u * levels + l, i] = p
+            _glue_body(n, base_log, levels, n_d,
+                       acc_ref[u, 0], acc_ref[u, 1], t_ref[...], write_plane)
+
+    @pl.when(r == 0)
+    def _init():
+        part_ref[...] = jnp.zeros_like(part_ref)
+
+    for j in range(j_start, 8):
+        if not any(i + j < 8 for i in range(n_d)):
+            continue
+        ncm = _nc_rows(ext_ref[0, 0, j - j_start: j - j_start + 1, :],
+                       n)[:, :n]
+        for i in range(n_d):
+            s = i + j
+            if s >= 8:
+                continue
+            contrib = jnp.dot(dig_ref[r, i], ncm,
+                              preferred_element_type=jnp.int32)
+            part_ref[s] = part_ref[s] + contrib
+
+    @pl.when(r == r_cnt - 1)
+    def _fini():
+        lo = acc_ref[oo, 0]
+        hi = acc_ref[oo, 1]
+        for s in range(j_start, 8):
+            val = part_ref[s]
+            v_lo = val.astype(jnp.uint32)
+            v_hi = (val >> 31).astype(jnp.uint32)
+            sh = 8 * s
+            if sh == 0:
+                c_lo, c_hi = v_lo, v_hi
+            elif sh < 32:
+                c_lo = v_lo << jnp.uint32(sh)
+                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
+            else:
+                c_lo = jnp.zeros_like(v_lo)
+                c_hi = v_lo << jnp.uint32(sh - 32)
+            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+        out_ref[oo, 0] = lo
+        out_ref[oo, 1] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("base_log", "levels",
+                                              "interpret", "j_start",
+                                              "max_tile"))
+def cmux_step_merged(t, ext_or, acc, base_log: int, levels: int,
+                     interpret: bool | None = None, j_start: int = 0,
+                     max_tile: int = 512):
+    """One COMPLETE blind-rotate CMux step as a single pallas call.
+
+    t: int32 [B] in [0, 2N); ext_or: int8 [O, R, 8-j_start, 2N];
+    acc: uint32 [O(k1), 2, B, N] -> new acc uint32 [O, 2, B, N].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    o, two, b, n = acc.shape
+    o2, r, j_cnt, two_n = ext_or.shape
+    assert o2 == o and two == 2 and two_n == 2 * n and j_cnt == 8 - j_start
+    assert r == o * levels
+
+    from tfhe_aes2_tpu.ops.torus import limbs_for_bound
+    n_d = limbs_for_bound(1 << (base_log - 1))
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    t2 = t.reshape(b, 1).astype(jnp.int32)
+    kern = functools.partial(_kernel_merged, n_d, n, o, levels, base_log,
+                             r, j_start)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_bt, o, r),
+            in_specs=[
+                pl.BlockSpec((bt, 1), lambda bb, oo, rr: (bb, 0)),
+                pl.BlockSpec((1, 1, 8 - j_start, two_n),
+                             lambda bb, oo, rr: (oo, rr, 0, 0)),
+                pl.BlockSpec((o, 2, bt, n), lambda bb, oo, rr: (0, 0, bb, 0)),
+            ],
+            out_specs=pl.BlockSpec((o, 2, bt, n),
+                                   lambda bb, oo, rr: (0, 0, bb, 0)),
+            out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((r, n_d, bt, n), jnp.int8),
+                            pltpu.VMEM((8, bt, n), jnp.int32)],
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(t2, ext_or, acc)
+    return out
+
+
+def _kernel_bucket(n_d: int, n: int, r_cnt: int, j_start: int,
+                   dig_ref, ext_ref, acc_ref, out_ref, part_ref):
+    """Grid (BT, O, S) body: one limb-weight bucket per cell, computed as a
+    single same-target chain of dots over all R rows (and both digit limbs),
+    so the MXU accumulates the whole bucket without scratch read-modify-write
+    round trips (the per-(o, r) kernel's 13 scattered bucket updates per cell
+    measured ~40% of step time).
+
+    Cell (bb, oo, ss) computes bucket s = j_start + ss:
+        part[s] = Σ_r Σ_i dot(dig[r, i], NC(ext[o, r, j=s-i]))
+    (terms with j outside [j_start, 7] drop). At the last s the buckets are
+    recombined into the (lo, hi) accumulator.
+
+    Block shapes (B = one batch tile):
+    dig_ref  [R, n_d, B, N]  int8   (all rows' digit limb planes)
+    ext_ref  [1, R, 8-j_start, 2N] int8 (component o of [O, R, ., 2N])
+    acc_ref  [1, 2, B, N]    uint32 (accumulator (lo, hi), component o)
+    out_ref  [1, 2, B, N]    uint32
+    part_ref [8, B, N]       int32  (bucket values, written once each)
+    """
+    ss = pl.program_id(2)
+    s_cnt = 8 - j_start
+
+    for s_val in range(j_start, 8):
+        @pl.when(ss == s_val - j_start)
+        def _bucket(s=s_val):
+            contrib = None
+            for r in range(r_cnt):
+                for i in range(n_d):
+                    j = s - i
+                    if j < j_start or j > 7:
+                        continue
+                    ncm = _nc_rows(ext_ref[0, r, j - j_start: j - j_start + 1,
+                                           :], n)[:, :n]
+                    term = jnp.dot(dig_ref[r, i], ncm,
+                                   preferred_element_type=jnp.int32)
+                    contrib = term if contrib is None else contrib + term
+            part_ref[s] = contrib
+
+    @pl.when(ss == s_cnt - 1)
+    def _fini():
+        lo = acc_ref[0, 0]
+        hi = acc_ref[0, 1]
+        for s in range(j_start, 8):
+            val = part_ref[s]
+            v_lo = val.astype(jnp.uint32)
+            v_hi = (val >> 31).astype(jnp.uint32)
+            sh = 8 * s
+            if sh == 0:
+                c_lo, c_hi = v_lo, v_hi
+            elif sh < 32:
+                c_lo = v_lo << jnp.uint32(sh)
+                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
+            else:
+                c_lo = jnp.zeros_like(v_lo)
+                c_hi = v_lo << jnp.uint32(sh - 32)
+            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+        out_ref[0, 0] = lo
+        out_ref[0, 1] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "j_start",
+                                              "max_tile"))
+def extprod_step3(dig_r_first, ext_or, acc,
+                  interpret: bool | None = None, j_start: int = 0,
+                  max_tile: int = 512):
+    """extprod_step2 with bucket-major dot chains (see _kernel_bucket).
+
+    dig_r_first: int8 [R, n_d, B, N]; ext_or: int8 [O, R, 8-j_start, 2N];
+    acc: uint32 [O, 2, B, N] -> new acc uint32 [O, 2, B, N].
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    r, n_d, b, n = dig_r_first.shape
+    o, r2, j_cnt, two_n = ext_or.shape
+    assert r2 == r and two_n == 2 * n and j_cnt == 8 - j_start
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    kern = functools.partial(_kernel_bucket, n_d, n, r, j_start)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_bt, o, 8 - j_start),
+            in_specs=[
+                pl.BlockSpec((r, n_d, bt, n), lambda bb, oo, ss: (0, 0, bb, 0)),
+                pl.BlockSpec((1, r, 8 - j_start, two_n),
+                             lambda bb, oo, ss: (oo, 0, 0, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, ss: (oo, 0, bb, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, bt, n),
+                                   lambda bb, oo, ss: (oo, 0, bb, 0)),
             out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
             input_output_aliases={2: 0},
