@@ -273,3 +273,32 @@ def test_pallas_extprod_step_fused_matches_unfused():
             got_u64 = np.asarray(up.to_u64(got_of[:, 0], got_of[:, 1]))
             np.testing.assert_array_equal(got_u64, exp_of,
                                           err_msg=f"{step_fn.__name__} js={js}")
+
+        # long-K variant: flat digit layout + (O, J, R, 2N) BSK planes
+        dig_flat = jnp2.reshape(digit_planes, (2, batch, r * n))
+        ext_oj = jnp2.transpose(ext_planes[js:], (2, 0, 1, 3))
+        got_of = np.asarray(extprod.extprod_step_longk(
+            dig_flat, ext_oj, acc_of, interpret=True, j_start=js))
+        got_u64 = np.asarray(up.to_u64(got_of[:, 0], got_of[:, 1]))
+        np.testing.assert_array_equal(got_u64, exp_of,
+                                      err_msg=f"extprod_step_longk js={js}")
+
+
+def test_rot_diff_digits_flat_matches_unflat():
+    """The flat-layout glue kernel emits exactly the row-major reshape of
+    rot_diff_digits' [R, n_d, B, N] output."""
+    from tfhe_aes2_tpu.ops.pallas import extprod
+
+    rng = np.random.default_rng(34)
+    n, k1, levels, batch, base_log, n_d = 64, 3, 2, 8, 12, 2
+    acc = jnp.asarray(
+        rng.integers(0, 1 << 32, (k1, 2, batch, n), dtype=np.uint32))
+    t = jnp.asarray(rng.integers(0, 2 * n, (batch,), dtype=np.int32))
+
+    unflat = np.asarray(extprod.rot_diff_digits(
+        acc, t, base_log, levels, n_d, interpret=True))     # [R, n_d, B, N]
+    expect = unflat.transpose(1, 2, 0, 3).reshape(n_d, batch,
+                                                  k1 * levels * n)
+    got = np.asarray(extprod.rot_diff_digits_flat(
+        acc, t, base_log, levels, n_d, interpret=True))
+    np.testing.assert_array_equal(got, expect)

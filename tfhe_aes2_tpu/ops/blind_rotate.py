@@ -179,6 +179,10 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             # B=512 production shapes):
             #   grid (default, 1.17ms/step): two calls per step
             #     (rot_diff_digits glue + extprod_step2 dots/recombine)
+            #   longk (4.3ms/step): per (o, BSK-plane) ONE [B, R·N] x
+            #     [R·N, N] dot per digit limb — fewer bucket-scratch
+            #     read-modify-writes than grid on paper, but measured 3.3x
+            #     slower (bench_probe7.py dissects why)
             #   merged (4.2ms/step): whole step in ONE pallas call — the
             #     dynamic scratch/accumulator indexing it needs defeats
             #     Mosaic (dynamic-slice copies per dot)
@@ -186,6 +190,24 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             #     Mosaic does not fuse them into MXU accumulation, so it
             #     just doubles the negacirculant builds
             kern_kind = _os.environ.get("TFHE_BR_KERNEL", "grid")
+
+            if kern_kind == "longk":
+                # [n_lwe, O, 8-j_start(j), R, 2N]
+                ext_oj_all = jnp.transpose(bsk_planes, (0, 3, 1, 2, 4))
+
+                def step_longk(acc_of, xs):
+                    ext_oj, a_i = xs
+                    dig = extprod.rot_diff_digits_flat(
+                        acc_of, a_i.reshape((batch_flat,)),
+                        p.pbs_base_log, p.pbs_level, n_d)
+                    return extprod.extprod_step_longk(
+                        dig, ext_oj, acc_of, j_start=j_start), None
+
+                acc_of, _ = jax.lax.scan(step_longk, acc_of,
+                                         (ext_oj_all, a_steps))
+                out = up.to_u64(jnp.moveaxis(acc_of[:, 0], 0, -2),
+                                jnp.moveaxis(acc_of[:, 1], 0, -2))
+                return out.reshape(batch_shape + (k1, n))
 
             def step_fused(acc_of, xs):
                 ext_or, a_i = xs

@@ -560,6 +560,174 @@ def cmux_step_merged(t, ext_or, acc, base_log: int, levels: int,
     return out
 
 
+def _rot_diff_digits_flat_kernel(n: int, base_log: int, levels: int,
+                                 n_d: int, t_ref, acc_ref, out_ref):
+    """Grid (BT, U) body: like _rot_diff_digits_kernel but emitting the
+    row-flattened digit layout [n_d, B, R·N] (column r·N + c, r = u·L + l)
+    that the long-K CMux kernel consumes as a single matmul operand.
+
+    Block shapes (B = one batch tile):
+    t_ref   [B, 1]               int32
+    acc_ref [1, 2, B, N]         uint32 (accumulator (lo, hi), component u)
+    out_ref [n_d, B, levels·N]   int8   (columns u·levels·N .. of [n_d, B, R·N])
+    """
+    def write_plane(l, i, p):
+        out_ref[i, :, l * n: (l + 1) * n] = p
+
+    _glue_body(n, base_log, levels, n_d, acc_ref[0, 0], acc_ref[0, 1],
+               t_ref[...], write_plane)
+
+
+@functools.partial(jax.jit, static_argnames=("base_log", "levels", "n_d",
+                                              "interpret", "max_tile"))
+def rot_diff_digits_flat(acc, t, base_log: int, levels: int, n_d: int,
+                         interpret: bool | None = None,
+                         max_tile: int | None = None):
+    """rot_diff_digits emitting int8 [n_d, B, R·N] (row-major (r, coeff)
+    columns) — the LHS layout of extprod_step_longk."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if max_tile is None:
+        max_tile = _default_tile()
+    k1, two, b, n = acc.shape
+    assert two == 2
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    t2 = t.reshape(b, 1).astype(jnp.int32)
+    kern = functools.partial(_rot_diff_digits_flat_kernel, n, base_log,
+                             levels, n_d)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_bt, k1),
+            in_specs=[
+                pl.BlockSpec((bt, 1), lambda bb, uu: (bb, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, uu: (uu, 0, bb, 0)),
+            ],
+            out_specs=pl.BlockSpec((n_d, bt, levels * n),
+                                   lambda bb, uu: (0, bb, uu)),
+            out_shape=jax.ShapeDtypeStruct((n_d, b, k1 * levels * n),
+                                           jnp.int8),
+            interpret=interpret,
+        )(t2, acc)
+    return out
+
+
+def _kernel_longk(n_d: int, n: int, r_cnt: int, j_start: int,
+                  dig_ref, ext_ref, acc_ref, out_ref, nc_ref, part_ref):
+    """Grid (BT, O, J) body: per (o, BSK-limb-plane j) ONE long-K matmul per
+    digit limb — the R negacirculants of plane j stack into a [R·N, N]
+    block-diagonal-free contraction, so the int32 bucket scratch is written
+    at most twice per bucket instead of once per (r, i, j) term (the per-(o,r)
+    kernel's 13 read-modify-writes per cell ≈ 2 GB/step of VMEM traffic at
+    production shapes, on par with the MXU dot time itself).
+
+    Block shapes (B = one batch tile):
+    dig_ref  [n_d, B, R·N]   int8   (flat digit planes, same block ∀ cells)
+    ext_ref  [1, 1, R, 2N]   int8   ((o, j) of [O, J, R, 2N])
+    acc_ref  [1, 2, B, N]    uint32 (accumulator (lo, hi), component o)
+    out_ref  [1, 2, B, N]    uint32 (aliased with acc)
+    nc_ref   [R·N, N]        int8   scratch (plane j's stacked negacirculants)
+    part_ref [8, B, N]       int32  scratch (weight-2^(8s) buckets)
+    """
+    jj = pl.program_id(2)
+    j_cnt = 8 - j_start
+
+    for r in range(r_cnt):
+        nc_ref[r * n: (r + 1) * n, :] = _nc_rows(
+            ext_ref[0, 0, r: r + 1, :], n)[:, :n]
+
+    for j_val in range(j_start, 8):
+        @pl.when(jj == j_val - j_start)
+        def _dots(j_val=j_val):
+            for i in range(n_d):
+                s = j_val + i
+                if s >= 8:
+                    continue
+                c = jnp.dot(dig_ref[i], nc_ref[...],
+                            preferred_element_type=jnp.int32)
+                # first writer of bucket s is the cell with the largest i
+                if j_val == max(j_start, s - n_d + 1):
+                    part_ref[s] = c
+                else:
+                    part_ref[s] = part_ref[s] + c
+
+    @pl.when(jj == j_cnt - 1)
+    def _fini():
+        lo = acc_ref[0, 0]
+        hi = acc_ref[0, 1]
+        for s in range(j_start, 8):
+            val = part_ref[s]
+            v_lo = val.astype(jnp.uint32)
+            v_hi = (val >> 31).astype(jnp.uint32)
+            sh = 8 * s
+            if sh == 0:
+                c_lo, c_hi = v_lo, v_hi
+            elif sh < 32:
+                c_lo = v_lo << jnp.uint32(sh)
+                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
+            else:
+                c_lo = jnp.zeros_like(v_lo)
+                c_hi = v_lo << jnp.uint32(sh - 32)
+            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+        out_ref[0, 0] = lo
+        out_ref[0, 1] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "j_start",
+                                              "max_tile"))
+def extprod_step_longk(dig_flat, ext_oj, acc,
+                       interpret: bool | None = None, j_start: int = 0,
+                       max_tile: int | None = None):
+    """extprod_step2 with long-K bucket dots (see _kernel_longk).
+
+    dig_flat: int8 [n_d, B, R·N] (rot_diff_digits_flat layout);
+    ext_oj:   int8 [O, 8-j_start, R, 2N];
+    acc:      uint32 [O, 2, B, N] -> new acc uint32 [O, 2, B, N] (aliased).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if max_tile is None:
+        max_tile = _default_tile()
+    n_d, b, rn = dig_flat.shape
+    o, j_cnt, r, two_n = ext_oj.shape
+    n = two_n // 2
+    assert rn == r * n and j_cnt == 8 - j_start
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    kern = functools.partial(_kernel_longk, n_d, n, r, j_start)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_bt, o, j_cnt),
+            in_specs=[
+                pl.BlockSpec((n_d, bt, rn), lambda bb, oo, jj: (0, bb, 0)),
+                pl.BlockSpec((1, 1, r, two_n),
+                             lambda bb, oo, jj: (oo, jj, 0, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, jj: (oo, 0, bb, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 2, bt, n),
+                                   lambda bb, oo, jj: (oo, 0, bb, 0)),
+            out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((r * n, n), jnp.int8),
+                            pltpu.VMEM((8, bt, n), jnp.int32)],
+            input_output_aliases={2: 0},
+            interpret=interpret,
+        )(dig_flat, ext_oj, acc)
+    return out
+
+
 def _kernel_bucket(n_d: int, n: int, r_cnt: int, j_start: int,
                    dig_ref, ext_ref, acc_ref, out_ref, part_ref):
     """Grid (BT, O, S) body: one limb-weight bucket per cell, computed as a
