@@ -141,6 +141,69 @@ def main() -> int:
         def _f():
             fini(j_start, acc_ref, out_ref, part_ref)
 
+    def kern_nobuild2(dig_ref, ext_ref, acc_ref, out_ref, part_ref, nc_ref):
+        # floor for the bucketdesc structure: 7 dots K=2N + 7 RMW, no builds
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _init():
+            part_ref[...] = jnp.zeros_like(part_ref)
+            nc_ref[0:1, :] = ext_ref[0, 0, 0:1, :N]
+
+        lhs = dig_ref[0]                                       # [B, 2N]
+        for s in range(j_start, 8):
+            w = nc_ref[(7 - s) * N: (9 - s) * N, :]            # [2N, N]
+            part_ref[s] = part_ref[s] + jnp.dot(
+                lhs, w, preferred_element_type=jnp.int32)
+
+        @pl.when(r == R - 1)
+        def _f():
+            fini(j_start, acc_ref, out_ref, part_ref)
+
+    def kern_packeddesc(dig_ref, ext_ref, acc_ref, out_ref, part_ref,
+                        nc_ref):
+        # packed int32 ladders unpacked straight into the descending scratch,
+        # then the 7 shared-LHS K=2N bucket dots
+        r = pl.program_id(2)
+        o = pl.program_id(1)
+
+        @pl.when(r == 0)
+        def _init():
+            part_ref[...] = jnp.zeros_like(part_ref)
+
+        @pl.when((r == 0) & (o == 0))
+        def _zero_nc0():
+            nc_ref[7 * N: 8 * N, :] = jnp.zeros((N, N), jnp.int8)
+
+        groups = [list(range(j_start + 4 * g, min(8, j_start + 4 * g + 4)))
+                  for g in range((j_cnt + 3) // 4)]
+        for js in groups:
+            row = jnp.zeros((1, 2 * N), jnp.int32)
+            for p_i, j in enumerate(js):
+                b8 = ext_ref[0, 0, j - j_start: j - j_start + 1, :]
+                row = row | ((b8.astype(jnp.int32) & 0xFF) << (8 * p_i))
+            m = row
+            size = 1
+            while size < N:
+                rolled = jnp.concatenate(
+                    [m[..., -size:], m[..., :-size]], axis=-1)
+                m = jnp.concatenate([m, rolled], axis=0)
+                size *= 2
+            mn = m[:, :N]                                      # [N, N] i32
+            for p_i, j in enumerate(js):
+                nc_ref[(7 - j) * N: (8 - j) * N, :] = (
+                    (mn << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
+
+        lhs = dig_ref[0]                                       # [B, 2N]
+        for s in range(j_start, 8):
+            w = nc_ref[(7 - s) * N: (9 - s) * N, :]            # [2N, N]
+            part_ref[s] = part_ref[s] + jnp.dot(
+                lhs, w, preferred_element_type=jnp.int32)
+
+        @pl.when(r == R - 1)
+        def _f():
+            fini(j_start, acc_ref, out_ref, part_ref)
+
     def kern_packed(dig_ref, ext_ref, acc_ref, out_ref, part_ref):
         r = pl.program_id(2)
 
@@ -233,6 +296,16 @@ def main() -> int:
             dig=dig_cat,
             dig_spec=pl.BlockSpec((1, B, n_d * N),
                                   lambda bb, oo, rr: (rr, bb, 0))),
+        "nobuild2": make_step(
+            kern_nobuild2, [pltpu.VMEM((8 * N, N), jnp.int8)],
+            dig=dig_cat,
+            dig_spec=pl.BlockSpec((1, B, n_d * N),
+                                  lambda bb, oo, rr: (rr, bb, 0))),
+        "packeddesc": make_step(
+            kern_packeddesc, [pltpu.VMEM((8 * N, N), jnp.int8)],
+            dig=dig_cat,
+            dig_spec=pl.BlockSpec((1, B, n_d * N),
+                                  lambda bb, oo, rr: (rr, bb, 0))),
         "packed": make_step(kern_packed, []),
     }
 
@@ -241,6 +314,17 @@ def main() -> int:
         step = variants[name]
 
         def mk(steps, step=step):
+            # checksum readback: the full acc is 10.5MB, and tunnel readback
+            # variance (~hundreds of ms) would swamp the timing signal
+            @jax.jit
+            def run(acc):
+                def body(acc, _):
+                    return step(acc), None
+                out, _ = jax.lax.scan(body, acc, None, length=steps)
+                return jnp.sum(out, dtype=jnp.uint32)
+            return run
+
+        def mk_full(steps, step=step):
             @jax.jit
             def run(acc):
                 def body(acc, _):
@@ -250,26 +334,27 @@ def main() -> int:
             return run
 
         times = {}
-        out = None
         for steps in (s1, s2):
             run = mk(steps)
             t0 = time.time()
-            out = np.asarray(jax.block_until_ready(run(acc0)))
+            np.asarray(jax.block_until_ready(run(acc0)))
             first = time.time() - t0
             ts = []
-            for _ in range(3):
+            for _ in range(7):
                 t0 = time.time()
-                out = np.asarray(jax.block_until_ready(run(acc0)))
+                np.asarray(jax.block_until_ready(run(acc0)))
                 ts.append(time.time() - t0)
             times[steps] = min(ts)
             log(f"{name} x{steps}: first {first:.1f}s steady "
                 f"{times[steps]*1e3:.1f}ms")
         slope = (times[s2] - times[s1]) / (s2 - s1)
         log(f"{name}: marginal {slope*1e3:.3f}ms/step")
-        if name == "base":
-            ref_out = out
-        elif ref_out is not None and name in ("bucketdesc", "packed"):
-            log(f"{name}: matches base = {np.array_equal(out, ref_out)}")
+        if name in ("base", "bucketdesc", "packed", "packeddesc"):
+            out = np.asarray(jax.block_until_ready(mk_full(s1)(acc0)))
+            if name == "base":
+                ref_out = out
+            elif ref_out is not None:
+                log(f"{name}: matches base = {np.array_equal(out, ref_out)}")
     return 0
 
 

@@ -59,9 +59,14 @@ def main() -> int:
         8, 24, lambda v: rng.integers(0, 1 << 24), p)
 
     def timed(name, fn, *args, vary=0):
-        # vary one data arg per iteration and materialize on host: the
-        # tunneled executor may memoize identical (program, args) executions.
-        f = jax.jit(fn)
+        # vary one data arg per iteration (defeats any result caching) and
+        # read back only a u32 checksum: stage outputs are tens of MB and
+        # tunnel readback variance (~hundreds of ms) would swamp the signal.
+        def fn_sum(*a):
+            leaves = jax.tree_util.tree_leaves(fn(*a))
+            return sum(jnp.sum(x.astype(jnp.uint32)) for x in leaves)
+
+        f = jax.jit(fn_sum)
         t0 = time.time()
         np.asarray(jax.tree_util.tree_leaves(f(*args))[0])
         t_first = time.time() - t0

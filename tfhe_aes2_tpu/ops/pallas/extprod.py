@@ -151,18 +151,31 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
     def _init():
         part_ref[...] = jnp.zeros_like(part_ref)
 
-    for j in range(j_start, 8):
-        if not any(i + j < 8 for i in range(n_d)):
-            continue
-        ncm = _nc_rows(ext_ref[0, 0, j - j_start: j - j_start + 1, :],
-                       n)[:, :n]                               # [N, N]
-        for i in range(n_d):
-            s = i + j
-            if s >= 8:
-                continue
-            contrib = jnp.dot(dig_ref[0, i], ncm,
-                              preferred_element_type=jnp.int32)
-            part_ref[s] = part_ref[s] + contrib
+    # Negacirculants for 4 limb planes per rotation ladder: the planes of one
+    # (o, r) BSK polynomial share the rotation structure, so packing 4 int8
+    # planes into int32 lanes runs one ladder where the naive form runs four
+    # (VPU lane width is 32 bits; measured -11%/step at production shapes,
+    # bench_probe9.py "packed"). Extracted plane VALUES feed the dots
+    # directly — unpacking into an int8 scratch costs more than it saves.
+    js_all = [j for j in range(j_start, 8)
+              if any(i + j < 8 for i in range(n_d))]
+    for g in range(0, len(js_all), 4):
+        js = js_all[g: g + 4]
+        row = None
+        for p_i, j in enumerate(js):
+            b8 = ext_ref[0, 0, j - j_start: j - j_start + 1, :]
+            word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
+            row = word if row is None else row | word
+        packed = _nc_rows(row, n)[:, :n]                       # [N, N] int32
+        for p_i, j in enumerate(js):
+            ncm = ((packed << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
+            for i in range(n_d):
+                s = i + j
+                if s >= 8:
+                    continue
+                contrib = jnp.dot(dig_ref[0, i], ncm,
+                                  preferred_element_type=jnp.int32)
+                part_ref[s] = part_ref[s] + contrib
 
     @pl.when(r == r_cnt - 1)
     def _fini():
@@ -305,6 +318,63 @@ def rot_diff_digits(acc, t, base_log: int, levels: int, n_d: int,
             interpret=interpret,
         )(t2, acc)
     return out.reshape(k1 * levels, n_d, b, n)
+
+
+def _rot_diff_digits_cat_kernel(n: int, base_log: int, levels: int,
+                                n_d: int, t_ref, acc_ref, out_ref):
+    """Grid (BT, U) body: like _rot_diff_digits_kernel but emitting the
+    limb-concat layout [levels, B, n_d·N] (columns [dig_lo | dig_hi]) that
+    the descending-scratch bucket kernel consumes as one shared LHS.
+
+    Block shapes (B = one batch tile):
+    t_ref   [B, 1]             int32
+    acc_ref [1, 2, B, N]       uint32 (accumulator (lo, hi), component u)
+    out_ref [1, levels, B, n_d·N] int8 (rows (u, l) of [R, B, n_d·N])
+    """
+    def write_plane(l, i, p):
+        out_ref[0, l, :, i * n: (i + 1) * n] = p
+
+    _glue_body(n, base_log, levels, n_d, acc_ref[0, 0], acc_ref[0, 1],
+               t_ref[...], write_plane)
+
+
+@functools.partial(jax.jit, static_argnames=("base_log", "levels", "n_d",
+                                              "interpret", "max_tile"))
+def rot_diff_digits_cat(acc, t, base_log: int, levels: int, n_d: int,
+                        interpret: bool | None = None,
+                        max_tile: int | None = None):
+    """rot_diff_digits emitting int8 [R, B, n_d·N] (columns = limb-concat
+    [dig_lo | dig_hi]) — the shared-LHS layout of extprod_step_desc."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if max_tile is None:
+        max_tile = _default_tile()
+    k1, two, b, n = acc.shape
+    assert two == 2
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    t2 = t.reshape(b, 1).astype(jnp.int32)
+    kern = functools.partial(_rot_diff_digits_cat_kernel, n, base_log,
+                             levels, n_d)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(n_bt, k1),
+            in_specs=[
+                pl.BlockSpec((bt, 1), lambda bb, uu: (bb, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, uu: (uu, 0, bb, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, levels, bt, n_d * n),
+                                   lambda bb, uu: (uu, 0, bb, 0)),
+            out_shape=jax.ShapeDtypeStruct((k1, levels, b, n_d * n),
+                                           jnp.int8),
+            interpret=interpret,
+        )(t2, acc)
+    return out.reshape(k1 * levels, b, n_d * n)
 
 
 def _default_tile() -> int:
