@@ -302,3 +302,45 @@ def test_rot_diff_digits_flat_matches_unflat():
     got = np.asarray(extprod.rot_diff_digits_flat(
         acc, t, base_log, levels, n_d, interpret=True))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_extprod_step2g_matches_step2_plus_glue():
+    """The glue-fused CMux step (extprod_step2g) emits exactly the same new
+    accumulator AND next-step digits as extprod_step2 followed by
+    rot_diff_digits."""
+    from tfhe_aes2_tpu.ops.pallas import extprod
+    from tfhe_aes2_tpu.ops import torus, u32pair as up
+
+    rng = np.random.default_rng(35)
+    n, k1, levels, batch, base_log = 64, 3, 2, 8, 12
+    r = k1 * levels
+    n_d = 2
+    polys = rng.integers(0, 1 << 64, (r, k1, n), dtype=np.uint64)
+    acc = rng.integers(0, 1 << 64, (batch, k1, n), dtype=np.uint64)
+    t0 = jnp.asarray(rng.integers(0, 2 * n, (batch,), dtype=np.int32))
+    t1 = jnp.asarray(rng.integers(0, 2 * n, (batch,), dtype=np.int32))
+
+    ext_planes = extprod.split_polys_for_pallas(jnp.asarray(polys))
+    acc_pair = up.from_u64(jnp.asarray(acc))
+    acc_of = jnp.stack([jnp.moveaxis(acc_pair[0], -2, 0),
+                        jnp.moveaxis(acc_pair[1], -2, 0)], axis=1)
+
+    for js in (0, 1):
+        ext_or = jnp.transpose(ext_planes[js:], (2, 1, 0, 3))
+
+        dig0 = extprod.rot_diff_digits(acc_of, t0, base_log, levels, n_d,
+                                       interpret=True)
+        acc1 = extprod.extprod_step2(dig0, ext_or, acc_of, interpret=True,
+                                     j_start=js)
+        dig1 = extprod.rot_diff_digits(acc1, t1, base_log, levels, n_d,
+                                       interpret=True)
+
+        dig0_5d = dig0.reshape(k1, levels, n_d, batch, n)
+        acc1_g, dig1_g = extprod.extprod_step2g(
+            dig0_5d, ext_or, acc_of, t1, base_log=base_log, levels=levels,
+            interpret=True, j_start=js)
+        np.testing.assert_array_equal(np.asarray(acc1_g), np.asarray(acc1),
+                                      err_msg=f"acc js={js}")
+        np.testing.assert_array_equal(
+            np.asarray(dig1_g).reshape(r, n_d, batch, n), np.asarray(dig1),
+            err_msg=f"dig js={js}")

@@ -189,7 +189,38 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             #   bucket (3.5ms/step): extprod_step3 same-target dot chains —
             #     Mosaic does not fuse them into MXU accumulation, so it
             #     just doubles the negacirculant builds
+            #   gridg (0.550 blocks/s vs grid 0.576 full-bench): grid with
+            #     the NEXT step's glue fused into the dot kernel's finish —
+            #     one pallas call per step, but measured slower in-scan
+            #     (suspect: the revisited dig output block costs more than
+            #     the saved launch + acc re-read)
             kern_kind = _os.environ.get("TFHE_BR_KERNEL", "grid")
+
+            if kern_kind == "gridg":
+                k1l = (k1, p.pbs_level, n_d, batch_flat, n)
+                dig0 = extprod.rot_diff_digits(
+                    acc_of, a_steps[0].reshape((batch_flat,)),
+                    p.pbs_base_log, p.pbs_level, n_d).reshape(k1l)
+                # step i consumes ext_i and emits digits for a_{i+1}; the
+                # final glue output is discarded (pad with t=0)
+                a_next = jnp.concatenate(
+                    [a_steps[1:], jnp.zeros_like(a_steps[:1])], axis=0)
+
+                def step_g(carry, xs):
+                    acc_of, dig = carry
+                    ext_or, t_nxt = xs
+                    acc_of, dig = extprod.extprod_step2g(
+                        dig, ext_or, acc_of,
+                        t_nxt.reshape((batch_flat,)),
+                        base_log=p.pbs_base_log, levels=p.pbs_level,
+                        j_start=j_start)
+                    return (acc_of, dig), None
+
+                (acc_of, _), _ = jax.lax.scan(
+                    step_g, (acc_of, dig0), (ext_or_all, a_next))
+                out = up.to_u64(jnp.moveaxis(acc_of[:, 0], 0, -2),
+                                jnp.moveaxis(acc_of[:, 1], 0, -2))
+                return out.reshape(batch_shape + (k1, n))
 
             if kern_kind == "longk":
                 # [n_lwe, O, 8-j_start(j), R, 2N]

@@ -151,12 +151,24 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
     def _init():
         part_ref[...] = jnp.zeros_like(part_ref)
 
-    # Negacirculants for 4 limb planes per rotation ladder: the planes of one
-    # (o, r) BSK polynomial share the rotation structure, so packing 4 int8
-    # planes into int32 lanes runs one ladder where the naive form runs four
-    # (VPU lane width is 32 bits; measured -11%/step at production shapes,
-    # bench_probe9.py "packed"). Extracted plane VALUES feed the dots
-    # directly — unpacking into an int8 scratch costs more than it saves.
+    _packed_dots(n_d, n, j_start, lambda i: dig_ref[0, i], ext_ref,
+                 part_ref)
+
+    @pl.when(r == r_cnt - 1)
+    def _fini():
+        lo, hi = _recombine(j_start, acc_ref[0, 0], acc_ref[0, 1], part_ref)
+        out_ref[0, 0] = lo
+        out_ref[0, 1] = hi
+
+
+def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_ref, part_ref):
+    """The CMux dot core: negacirculants for 4 limb planes per rotation
+    ladder — the planes of one (o, r) BSK polynomial share the rotation
+    structure, so packing 4 int8 planes into int32 lanes runs one ladder
+    where the naive form runs four (VPU lane width is 32 bits; measured
+    -11%/step at production shapes, bench_probe9.py "packed"). Extracted
+    plane VALUES feed the dots directly — unpacking into an int8 scratch
+    costs more than it saves."""
     js_all = [j for j in range(j_start, 8)
               if any(i + j < 8 for i in range(n_d))]
     for g in range(0, len(js_all), 4):
@@ -173,30 +185,28 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
                 s = i + j
                 if s >= 8:
                     continue
-                contrib = jnp.dot(dig_ref[0, i], ncm,
+                contrib = jnp.dot(dig_at(i), ncm,
                                   preferred_element_type=jnp.int32)
                 part_ref[s] = part_ref[s] + contrib
 
-    @pl.when(r == r_cnt - 1)
-    def _fini():
-        lo = acc_ref[0, 0]
-        hi = acc_ref[0, 1]
-        for s in range(j_start, 8):
-            val = part_ref[s]
-            v_lo = val.astype(jnp.uint32)
-            v_hi = (val >> 31).astype(jnp.uint32)   # arithmetic sign bits
-            sh = 8 * s
-            if sh == 0:
-                c_lo, c_hi = v_lo, v_hi
-            elif sh < 32:
-                c_lo = v_lo << jnp.uint32(sh)
-                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
-            else:
-                c_lo = jnp.zeros_like(v_lo)
-                c_hi = v_lo << jnp.uint32(sh - 32)
-            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
-        out_ref[0, 0] = lo
-        out_ref[0, 1] = hi
+
+def _recombine(j_start: int, lo, hi, part_ref):
+    """Fold the 8 weight-2^(8s) int32 buckets into the (lo, hi) u32 pair."""
+    for s in range(j_start, 8):
+        val = part_ref[s]
+        v_lo = val.astype(jnp.uint32)
+        v_hi = (val >> 31).astype(jnp.uint32)       # arithmetic sign bits
+        sh = 8 * s
+        if sh == 0:
+            c_lo, c_hi = v_lo, v_hi
+        elif sh < 32:
+            c_lo = v_lo << jnp.uint32(sh)
+            c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
+        else:
+            c_lo = jnp.zeros_like(v_lo)
+            c_hi = v_lo << jnp.uint32(sh - 32)
+        lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+    return lo, hi
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "j_start",
@@ -434,6 +444,104 @@ def extprod_step2(dig_r_first, ext_or, acc,
             interpret=interpret,
         )(dig_r_first, ext_or, acc)
     return out
+
+
+def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
+                         base_log: int, levels: int,
+                         t_ref, dig_ref, ext_ref, acc_ref,
+                         out_ref, dig_out_ref, part_ref):
+    """_kernel_grid_fused with next-step glue fused into the finish: at
+    r == R-1 the cell holds the NEW accumulator component o in VMEM, which is
+    exactly the input of the next step's rotation/diff/decompose for rows
+    u = o — so the glue runs here instead of as its own pallas call (saving
+    one kernel launch and a 10.5MB accumulator re-read per CMux step).
+
+    Extra block shapes (on top of _kernel_grid_fused's):
+    t_ref       [B, 1]                int32 (NEXT step's mod-switched mask)
+    dig_out_ref [1, levels, n_d, B, N] int8 (next digits, rows (u=o, l))
+    """
+    r = pl.program_id(2)
+
+    @pl.when(r == 0)
+    def _init():
+        part_ref[...] = jnp.zeros_like(part_ref)
+
+    _packed_dots(n_d, n, j_start, lambda i: dig_ref[0, 0, i], ext_ref,
+                 part_ref)
+
+    @pl.when(r == r_cnt - 1)
+    def _fini():
+        lo, hi = _recombine(j_start, acc_ref[0, 0], acc_ref[0, 1], part_ref)
+        out_ref[0, 0] = lo
+        out_ref[0, 1] = hi
+
+        def write_plane(l, i, p):
+            dig_out_ref[0, l, i] = p
+
+        _glue_body(n, base_log, levels, n_d, lo, hi, t_ref[...], write_plane)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "base_log", "levels", "interpret", "j_start", "max_tile"))
+def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
+                   interpret: bool | None = None, j_start: int = 0,
+                   max_tile: int | None = None):
+    """One CMux step in ONE pallas call: extprod_step2 dots/recombine plus
+    the NEXT step's rotation/diff/decompose glue fused into the finish.
+
+    dig:    int8 [k1, levels, n_d, B, N] (this step's digits, rows (u, l));
+    ext_or: int8 [O, R, 8-j_start, 2N];
+    acc:    uint32 [O, 2, B, N] (aliased with the acc output);
+    t_next: int32 [B] (next step's mod-switched mask element, in [0, 2N)).
+    Returns (new_acc [O, 2, B, N] u32, next_dig [k1, levels, n_d, B, N] i8).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if max_tile is None:
+        max_tile = _default_tile()
+    k1, levels2, n_d, b, n = dig.shape
+    o, r, j_cnt, two_n = ext_or.shape
+    assert levels2 == levels and r == k1 * levels and o == k1
+    assert two_n == 2 * n and j_cnt == 8 - j_start
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    bt = b
+    while bt > max_tile:
+        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
+        bt //= 2
+    n_bt = b // bt
+
+    t2 = t_next.reshape(b, 1).astype(jnp.int32)
+    kern = functools.partial(_kernel_grid_fused_g, n_d, n, r, j_start,
+                             base_log, levels)
+    with jax.enable_x64(False):
+        new_acc, new_dig = pl.pallas_call(
+            kern,
+            grid=(n_bt, o, r),
+            in_specs=[
+                pl.BlockSpec((bt, 1), lambda bb, oo, rr: (bb, 0)),
+                pl.BlockSpec((1, 1, n_d, bt, n),
+                             lambda bb, oo, rr: (rr // levels, rr % levels,
+                                                 0, bb, 0)),
+                pl.BlockSpec((1, 1, 8 - j_start, two_n),
+                             lambda bb, oo, rr: (oo, rr, 0, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, rr: (oo, 0, bb, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, rr: (oo, 0, bb, 0)),
+                pl.BlockSpec((1, levels, n_d, bt, n),
+                             lambda bb, oo, rr: (oo, 0, 0, bb, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
+                jax.ShapeDtypeStruct((k1, levels, n_d, b, n), jnp.int8),
+            ],
+            scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
+            input_output_aliases={3: 0},
+            interpret=interpret,
+        )(t2, dig, ext_or, acc)
+    return new_acc, new_dig
 
 
 def _glue_body(n: int, base_log: int, levels: int, n_d: int,
