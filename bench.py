@@ -48,7 +48,8 @@ def main() -> int:
     print(f"[bench] keygen {time.time()-t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    sks_dev = keys_mod.prepare_server_keys(
+        jax.tree_util.tree_map(jnp.asarray, sks), params)
     jax.block_until_ready(sks_dev)
     print(f"[bench] key transfer {time.time()-t0:.1f}s", file=sys.stderr)
 

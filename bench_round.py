@@ -47,7 +47,8 @@ def main() -> int:
 
     t0 = time.time()
     client, sks = keys_mod.generate_keys(p, seed=3)
-    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    sks_dev = keys_mod.prepare_server_keys(
+        jax.tree_util.tree_map(jnp.asarray, sks), p)
     jax.block_until_ready(sks_dev)
     log(f"[round] keygen+transfer {time.time()-t0:.1f}s")
 

@@ -186,5 +186,6 @@ def calculate_multivariate_function(ctx: FheContext, bit_cts: "Bit1Ct",
 
 def generate_keys(params: WopbsParams = PARAMS_SHORTINT_1BIT, seed: int = 0):
     client, sks = keys_mod.generate_keys(params, seed=seed)
-    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    sks_dev = keys_mod.prepare_server_keys(
+        jax.tree_util.tree_map(jnp.asarray, sks), params)
     return client, FheContext(params=params, sks=sks_dev)

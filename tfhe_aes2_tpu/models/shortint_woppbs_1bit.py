@@ -222,7 +222,8 @@ def generate_keys(params: WopbsParams = PARAMS_SQRD_LVL_64, seed: int = 0):
     """Generate (ClientKey, FheContext) — reference generate_keys_sqrd_lvl_*
     (shortint_woppbs_1bit.rs:229-268)."""
     client, sks = keys_mod.generate_keys(params, seed=seed)
-    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    sks_dev = keys_mod.prepare_server_keys(
+        jax.tree_util.tree_map(jnp.asarray, sks), params)
     return client, FheContext(params=params, sks=sks_dev)
 
 

@@ -153,5 +153,6 @@ class Woppbs8BitByteOps:
 
 def generate_keys(params: WopbsParams = PARAMS_WOPPBS_8BIT, seed: int = 0):
     client, sks = keys_mod.generate_keys(params, seed=seed)
-    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    sks_dev = keys_mod.prepare_server_keys(
+        jax.tree_util.tree_map(jnp.asarray, sks), params)
     return client, FheContext(params=params, sks=sks_dev)

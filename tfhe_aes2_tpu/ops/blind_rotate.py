@@ -109,6 +109,37 @@ def resolve_mode(mode: str | bool | None) -> str:
     return os.environ.get("TFHE_BR_MODE", "pallas")
 
 
+def bsk_j_start(params: WopbsParams) -> int:
+    """Lowest BSK limb plane kept by the pallas CMux kernels.
+
+    Dropping plane 0 is sound when its products sit far below the
+    blind-rotate noise floor: the per-term truncation error std is
+    ~127/sqrt(12) ≈ 37 vs the BSK noise std (both enter the same
+    Σ digit·(·) sums), so at sigma_bsk >= 32·74 the added variance is
+    < 0.1% of the inherent CMux noise. Saves 2/15 of the MXU work.
+    TFHE_BSK_TRUNC=0 disables."""
+    import os
+
+    sigma_bsk = params.glwe_noise_std * (2.0 ** 64)
+    return 1 if (sigma_bsk >= 32 * 74 and
+                 os.environ.get("TFHE_BSK_TRUNC", "1") != "0") else 0
+
+
+def prepare_bsk(bsk, params: WopbsParams):
+    """u64 BSK [n, L, k+1, k+1, N] -> pallas-ready int8 plane tensor
+    [n, k+1(component), R, 8-j_start, 2N] (the blind-rotate scan layout).
+
+    blind_rotate_glwe recognises the int8 dtype and skips the per-call limb
+    split + transpose of the whole key — at production shapes that setup cost
+    ~0.17ms of the 0.91ms CMux step (amortized over the 677-step scan)."""
+    from tfhe_aes2_tpu.ops.pallas import extprod
+
+    rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64))     # [n, R, k+1, N]
+    planes = jax.vmap(extprod.split_polys_for_pallas)(rows)
+    planes = planes[:, bsk_j_start(params):]              # [n, 8-js, R, k+1, 2N]
+    return jnp.transpose(planes, (0, 3, 2, 1, 4))
+
+
 def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                       use_conv: bool | str | None = None):
     """Blind-rotate an arbitrary GLWE accumulator by the phase of `lwe`.
@@ -123,7 +154,12 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
     """
     p = params
     n, logn = p.polynomial_size, p.log2_poly_size
-    mode = resolve_mode(use_conv)
+    # a prepared BSK (int8 plane tensor, see prepare_bsk) skips the per-call
+    # limb split + transpose of the full ~400MB key — measured ~0.17ms of the
+    # 0.91ms production CMux step was this per-call setup amortized over the
+    # scan
+    prepared = getattr(bsk, "dtype", None) == jnp.int8
+    mode = "pallas" if prepared else resolve_mode(use_conv)
     lwe = jnp.asarray(lwe, U64)
     batch_shape = lwe.shape[:-1]
 
@@ -134,7 +170,9 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                            batch_shape + (p.glwe_dimension + 1, n))
     acc = polynomial.monomial_mul(acc, ((2 * n - b_tilde) % (2 * n))[..., None])
 
-    bsk_rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64)) # [n_lwe, R, k+1, N]
+    if not prepared:
+        bsk_rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64))
+        # [n_lwe, R, k+1, N]
     a_steps = jnp.moveaxis(a_tilde, -1, 0)                # [n_lwe, ...]
 
     if mode in ("conv", "pallas"):
@@ -148,19 +186,16 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
         for s in batch_shape:
             batch_flat *= s
 
+        import os as _os
         if mode == "pallas":
-            bsk_planes = jax.vmap(extprod.split_polys_for_pallas)(bsk_rows)
-            # Drop the lowest BSK limb plane when its products sit far below
-            # the blind-rotate noise floor: the per-term truncation error std
-            # is ~127/sqrt(12) ≈ 37 vs the BSK noise std (both enter the same
-            # Σ digit·(·) sums), so at sigma_bsk >= 32·74 the added variance
-            # is < 0.1% of the inherent CMux noise. Saves 2/15 of the MXU
-            # work. TFHE_BSK_TRUNC=0 disables.
-            import os as _os
-            sigma_bsk = p.glwe_noise_std * (2.0 ** 64)
-            j_start = 1 if (sigma_bsk >= 32 * 74 and
-                            _os.environ.get("TFHE_BSK_TRUNC", "1") != "0") else 0
-            bsk_planes = bsk_planes[:, j_start:]
+            if prepared:
+                ext_or_all = jnp.asarray(bsk)  # [n, k1, R, 8-j_start, 2N]
+                j_start = 8 - ext_or_all.shape[3]
+                bsk_planes = None
+            else:
+                bsk_planes = jax.vmap(extprod.split_polys_for_pallas)(bsk_rows)
+                j_start = bsk_j_start(p)
+                bsk_planes = bsk_planes[:, j_start:]
         else:
             bsk_planes = jax.vmap(polynomial.split_polys_for_conv)(bsk_rows)
 
@@ -169,8 +204,9 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             # glue + matmul/recombine); the [O, 2, B, N] u32 accumulator is
             # the scan carry, so no XLA glue or layout change runs between
             # steps.
-            ext_or_all = jnp.transpose(bsk_planes, (0, 3, 2, 1, 4))
-            # [n_lwe, O(k1), R, 8-j_start, 2N]
+            if not prepared:
+                ext_or_all = jnp.transpose(bsk_planes, (0, 3, 2, 1, 4))
+                # [n_lwe, O(k1), R, 8-j_start, 2N]
             acc_pair0 = up.from_u64(acc.reshape((batch_flat, k1, n)))
             acc_of = jnp.stack([jnp.moveaxis(acc_pair0[0], -2, 0),
                                 jnp.moveaxis(acc_pair0[1], -2, 0)], axis=1)
@@ -258,6 +294,9 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             out = up.to_u64(jnp.moveaxis(acc_of[:, 0], 0, -2),
                             jnp.moveaxis(acc_of[:, 1], 0, -2))
             return out.reshape(batch_shape + (k1, n))
+
+        if bsk_planes is None:                 # prepared BSK + xla glue
+            bsk_planes = jnp.transpose(ext_or_all, (0, 3, 2, 1, 4))
 
         acc_pair = up.from_u64(acc.reshape((batch_flat, k1, n)))
 

@@ -254,6 +254,36 @@ def _wrap_body_cpu(a2: np.ndarray, nc_signed: np.ndarray) -> np.ndarray:
     return out
 
 
+def prepare_server_keys(sks: ServerKeySet, params: WopbsParams) -> ServerKeySet:
+    """Pre-split the evaluation keys into the int8 limb-plane layouts the TPU
+    kernels consume, so no per-call split/transpose of ~400MB key tensors
+    runs inside the hot jits (blind rotate re-derived its plane tensor on
+    every PBS call — ~0.17ms of the 0.91ms production CMux step).
+
+    bsk    -> blind-rotate scan planes [n, k+1, R, 8-j_start, 2N] int8
+    ksk    -> keyswitch planes [8, kN, L, n+1] int8
+    pfpksk -> pfKS planes [8, kN+1, L, k+1, k+1, N] int8
+    pksk stays u64 (cold path: shortint_1bit packing keyswitch only).
+
+    The consumers sniff the int8 dtype; raw u64 keys keep working (CPU mode
+    and the conv/matmul lowerings need them). Call this on DEVICE arrays
+    after transfer; only meaningful off-CPU."""
+    import jax
+
+    from tfhe_aes2_tpu.ops import blind_rotate as br
+    from tfhe_aes2_tpu.ops.torus import split_u64_signed
+
+    if jax.default_backend() == "cpu":
+        # CPU lowers through matmul/conv modes that need the raw u64 keys
+        return sks
+
+    bsk_p = jax.jit(br.prepare_bsk, static_argnames=("params",))(
+        sks.bsk, params=params)
+    ksk_p = jax.jit(split_u64_signed)(sks.ksk)
+    pfpksk_p = jax.jit(split_u64_signed)(sks.pfpksk)
+    return ServerKeySet(bsk=bsk_p, ksk=ksk_p, pfpksk=pfpksk_p, pksk=sks.pksk)
+
+
 def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, ServerKeySet]:
     """Generate the client key and all evaluation keys."""
     rng = np.random.default_rng(seed)

@@ -26,14 +26,18 @@ def keyswitch(lwe_big, ksk, params: WopbsParams):
     """
     p = params
     lwe_big = jnp.asarray(lwe_big, U64)
-    ksk = jnp.asarray(ksk, U64)
-    kn, levels, n1 = ksk.shape
+    if getattr(ksk, "dtype", None) == jnp.int8:   # prepared limb planes
+        _, kn, levels, n1 = ksk.shape
+        m2 = ksk.reshape((8, kn * levels, n1))
+    else:
+        ksk = jnp.asarray(ksk, U64)
+        kn, levels, n1 = ksk.shape
+        m2 = ksk.reshape((kn * levels, n1))
     a, b = lwe_big[..., :-1], lwe_big[..., -1]
 
     digits = decomposition.decompose(a, p.ks_base_log, p.ks_level)   # [..., kN, L]
     batch = digits.shape[:-2]
     d2 = digits.reshape((-1, kn * levels))
-    m2 = ksk.reshape((kn * levels, n1))
     acc = exact_matmul(d2, m2, decomposition.digit_bound(p.ks_base_log),
                        max_k=kn * levels)
     acc = acc.reshape(batch + (n1,))
@@ -60,8 +64,13 @@ def pfks_all(lwe_big, pfpksk, params: WopbsParams):
     """
     p = params
     lwe_big = jnp.asarray(lwe_big, U64)
-    pfpksk = jnp.asarray(pfpksk, U64)
-    kn1, levels, u_cnt, k1, n = pfpksk.shape
+    if getattr(pfpksk, "dtype", None) == jnp.int8:  # prepared limb planes
+        _, kn1, levels, u_cnt, k1, n = pfpksk.shape
+        m2 = pfpksk.reshape((8, kn1 * levels, u_cnt * k1 * n))
+    else:
+        pfpksk = jnp.asarray(pfpksk, U64)
+        kn1, levels, u_cnt, k1, n = pfpksk.shape
+        m2 = pfpksk.reshape((kn1 * levels, u_cnt * k1 * n))
 
     digits = decomposition.decompose(lwe_big, p.pfks_base_log, p.pfks_level)
     # negate the mask digits, keep the body digit
@@ -71,7 +80,6 @@ def pfks_all(lwe_big, pfpksk, params: WopbsParams):
 
     batch = digits.shape[:-2]
     d2 = digits.reshape((-1, kn1 * levels))
-    m2 = pfpksk.reshape((kn1 * levels, u_cnt * k1 * n))
     out = exact_matmul(d2, m2, decomposition.digit_bound(p.pfks_base_log),
                        max_k=kn1 * levels)
     return out.reshape(batch + (u_cnt, k1, n))

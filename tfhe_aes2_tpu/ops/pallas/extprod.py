@@ -1027,20 +1027,29 @@ def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    for j in range(8):
-        if not any(i + j < 8 for i in range(n_d)):
-            continue
-        ncm = _nc_rows(ext_ref[0, 0, 0, j: j + 1, :], n)[:, :n]   # [N, N]
-        # one [n_d·G, N] x [N, N] dot covers every digit plane at this j
-        contrib = jnp.dot(dig_ref[0, 0], ncm,
-                          preferred_element_type=jnp.int32)       # [n_d·G, N]
-        for i in range(n_d):
-            s = i + j
-            if s >= 8:
-                continue
-            blk = out_ref[0, 0, s * g: (s + 1) * g]
-            out_ref[0, 0, s * g: (s + 1) * g] = (
-                blk + contrib[i * g: (i + 1) * g])
+    # packed ladders: 4 limb planes per int32 rotation ladder (see
+    # _packed_dots — same -VPU-cost trick, per-lane GGSW variant)
+    js_all = [j for j in range(8) if any(i + j < 8 for i in range(n_d))]
+    for gi in range(0, len(js_all), 4):
+        js = js_all[gi: gi + 4]
+        row = None
+        for p_i, j in enumerate(js):
+            b8 = ext_ref[0, 0, 0, j: j + 1, :]
+            word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
+            row = word if row is None else row | word
+        packed = _nc_rows(row, n)[:, :n]                          # [N, N] i32
+        for p_i, j in enumerate(js):
+            ncm = ((packed << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
+            # one [n_d·G, N] x [N, N] dot covers every digit plane at this j
+            contrib = jnp.dot(dig_ref[0, 0], ncm,
+                              preferred_element_type=jnp.int32)   # [n_d·G, N]
+            for i in range(n_d):
+                s = i + j
+                if s >= 8:
+                    continue
+                blk = out_ref[0, 0, s * g: (s + 1) * g]
+                out_ref[0, 0, s * g: (s + 1) * g] = (
+                    blk + contrib[i * g: (i + 1) * g])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -102,9 +102,13 @@ def exact_matmul(d, m_u64, d_bound: int, dn: str = "bk,ko->bo", max_k: int | Non
         exact while d_bound·128·K < 2^53. XLA CPU has no fast int8 GEMM.
     """
     d = jnp.asarray(d)
-    m_u64 = jnp.asarray(m_u64, U64)
+    # m may arrive pre-split as int8 limb planes [8, ...m] (prepared server
+    # keys, keys.prepare_server_keys): the per-call split of a ~400MB key
+    # tensor otherwise dominates small contractions.
+    m_u64 = jnp.asarray(m_u64) if getattr(m_u64, "dtype", None) == jnp.int8 \
+        else jnp.asarray(m_u64, U64)
 
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and m_u64.dtype != jnp.int8:
         return _exact_matmul_f64(d, m_u64, d_bound, dn, max_k)
     return _exact_matmul_i8(d, m_u64, d_bound, dn, max_k)
 
@@ -112,7 +116,10 @@ def exact_matmul(d, m_u64, d_bound: int, dn: str = "bk,ko->bo", max_k: int | Non
 def _exact_matmul_i8(d, m_u64, d_bound: int, dn: str, max_k: int | None):
     n_d = limbs_for_bound(d_bound)
     d_planes = split_int32_signed(d.astype(jnp.int32), n_d)      # [n_d, ...d]
-    m_planes = split_u64_signed(m_u64)                           # [8, ...m]
+    if m_u64.dtype == jnp.int8:
+        m_planes = m_u64                                         # pre-split
+    else:
+        m_planes = split_u64_signed(m_u64)                       # [8, ...m]
 
     # int32 overflow guard: n_terms * K * 127 * 127 < 2^31
     if max_k is not None:
