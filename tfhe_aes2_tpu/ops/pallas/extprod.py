@@ -124,7 +124,7 @@ def _add_carry(lo, hi, c_lo, c_hi):
     return s_lo, hi + c_hi + carry
 
 
-def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
+def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int, rg: int,
                        dig_ref, ext_ref, acc_ref, out_ref, part_ref):
     """Grid (BT, O, R) body with u64 recombination + CMux accumulate fused in.
 
@@ -151,17 +151,20 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int,
     def _init():
         part_ref[...] = jnp.zeros_like(part_ref)
 
-    _packed_dots(n_d, n, j_start, lambda i: dig_ref[0, i], ext_ref,
-                 part_ref)
+    for rr in range(rg):
+        _packed_dots(n_d, n, j_start,
+                     lambda i, rr=rr: dig_ref[rr, i],
+                     lambda jo, rr=rr: ext_ref[0, rr, jo: jo + 1, :],
+                     part_ref)
 
-    @pl.when(r == r_cnt - 1)
+    @pl.when(r == r_cnt // rg - 1)
     def _fini():
         lo, hi = _recombine(j_start, acc_ref[0, 0], acc_ref[0, 1], part_ref)
         out_ref[0, 0] = lo
         out_ref[0, 1] = hi
 
 
-def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_ref, part_ref):
+def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref):
     """The CMux dot core: negacirculants for 4 limb planes per rotation
     ladder — the planes of one (o, r) BSK polynomial share the rotation
     structure, so packing 4 int8 planes into int32 lanes runs one ladder
@@ -175,7 +178,7 @@ def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_ref, part_ref):
         js = js_all[g: g + 4]
         row = None
         for p_i, j in enumerate(js):
-            b8 = ext_ref[0, 0, j - j_start: j - j_start + 1, :]
+            b8 = ext_at(j - j_start)
             word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
             row = word if row is None else row | word
         packed = _nc_rows(row, n)[:, :n]                       # [N, N] int32
@@ -242,7 +245,7 @@ def extprod_step(digit_planes, ext_planes, acc_lo, acc_hi,
     ext_or = jnp.transpose(ext_planes, (2, 1, 0, 3))           # [O, R, 8, 2N]
     acc = jnp.stack([jnp.moveaxis(acc_lo, -2, 0),
                      jnp.moveaxis(acc_hi, -2, 0)], axis=1)     # [O, 2, B, N]
-    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start)
+    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, 1)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -425,19 +428,28 @@ def extprod_step2(dig_r_first, ext_or, acc,
         bt //= 2
     n_bt = b // bt
 
-    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start)
+    # row-grouped cells: processing TFHE_BR_RG decomposition rows per grid
+    # cell shaved per-cell overhead in isolation at bt=512 (probe11:
+    # 0.767 -> 0.738 ms/step at rg=3) but REGRESSED the full bench at
+    # bt=1024 (0.600 -> 0.520 blocks/s) — default 1
+    import os as _os
+    rg = int(_os.environ.get("TFHE_BR_RG", "1"))
+    if r % rg != 0:
+        rg = 1
+    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, rg)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
-            grid=(n_bt, o, r),
+            grid=(n_bt, o, r // rg),
             in_specs=[
-                pl.BlockSpec((1, n_d, bt, n), lambda bb, oo, rr: (rr, 0, bb, 0)),
-                pl.BlockSpec((1, 1, 8 - j_start, two_n),
-                             lambda bb, oo, rr: (oo, rr, 0, 0)),
-                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, rr: (oo, 0, bb, 0)),
+                pl.BlockSpec((rg, n_d, bt, n),
+                             lambda bb, oo, rc: (rc, 0, bb, 0)),
+                pl.BlockSpec((1, rg, 8 - j_start, two_n),
+                             lambda bb, oo, rc: (oo, rc, 0, 0)),
+                pl.BlockSpec((1, 2, bt, n), lambda bb, oo, rc: (oo, 0, bb, 0)),
             ],
             out_specs=pl.BlockSpec((1, 2, bt, n),
-                                   lambda bb, oo, rr: (oo, 0, bb, 0)),
+                                   lambda bb, oo, rc: (oo, 0, bb, 0)),
             out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
             input_output_aliases={2: 0},
@@ -466,8 +478,8 @@ def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
     def _init():
         part_ref[...] = jnp.zeros_like(part_ref)
 
-    _packed_dots(n_d, n, j_start, lambda i: dig_ref[0, 0, i], ext_ref,
-                 part_ref)
+    _packed_dots(n_d, n, j_start, lambda i: dig_ref[0, 0, i],
+                 lambda jo: ext_ref[0, 0, jo: jo + 1, :], part_ref)
 
     @pl.when(r == r_cnt - 1)
     def _fini():
