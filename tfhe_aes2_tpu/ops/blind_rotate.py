@@ -218,7 +218,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             #   longk (4.3ms/step): per (o, BSK-plane) ONE [B, R·N] x
             #     [R·N, N] dot per digit limb — fewer bucket-scratch
             #     read-modify-writes than grid on paper, but measured 3.3x
-            #     slower (bench_probe7.py dissects why)
+            #     slower (probes/bench_probe7.py dissects why)
             #   merged (4.2ms/step): whole step in ONE pallas call — the
             #     dynamic scratch/accumulator indexing it needs defeats
             #     Mosaic (dynamic-slice copies per dot)

@@ -6,7 +6,7 @@ Computes, for one BSK entry, the negacyclic products
 
 as int8 MXU matmuls against negacirculant tiles built **inside VMEM** — the
 O(N²) negacirculant never touches HBM, eliminating the gather/im2col
-bottlenecks of the XLA conv/gather formulations (bench_probe*.py).
+bottlenecks of the XLA conv/gather formulations (probes/bench_probe*.py).
 
 Index algebra: with ext = [p, -p] (length 2N, negacyclic doubling),
 NC[j, m] = ext[(m - j) mod 2N] = rotate_right(ext, j)[m]. The negacirculant
@@ -169,7 +169,7 @@ def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref):
     ladder — the planes of one (o, r) BSK polynomial share the rotation
     structure, so packing 4 int8 planes into int32 lanes runs one ladder
     where the naive form runs four (VPU lane width is 32 bits; measured
-    -11%/step at production shapes, bench_probe9.py "packed"). Extracted
+    -11%/step at production shapes, probes/bench_probe9.py "packed"). Extracted
     plane VALUES feed the dots directly — unpacking into an int8 scratch
     costs more than it saves."""
     js_all = [j for j in range(j_start, 8)

@@ -2,7 +2,7 @@
 
 XLA:TPU emulates 64-bit integers pairwise anyway, but its generic emulation
 of gathers/shifts/compares in the blind-rotate hot loop measured ~10x slower
-than hand-written u32-pair forms (bench_probe.py). This module implements
+than hand-written u32-pair forms (probes/bench_probe.py). This module implements
 exactly the ops the CMux scan needs — negacyclic rotation, wrapping add/sub,
 gadget decomposition, int32-partial recombination — on native uint32 tensors.
 """
