@@ -117,20 +117,33 @@ def test_prepared_keys_match_raw(keys_test_n256):
     dual_pre = ks.keyswitch(cts, prepared.ksk, p)
     np.testing.assert_array_equal(np.asarray(dual_pre), np.asarray(dual_raw))
 
-    lwe_raw = br.pbs_bit_to_level(dual_raw, sks_j.bsk, p.cbs_base_log, p,
-                                  )
-    # raw path on CPU lowers through matmul; force the pallas kernel for the
-    # prepared comparison (interpret mode)
-    import tfhe_aes2_tpu.ops.blind_rotate as br_mod
-    lwe_pre = br_mod.pbs_bit_to_level(dual_pre, prepared.bsk,
-                                      p.cbs_base_log, p)
+    lwe_raw = br.pbs_bit_to_level(dual_raw, sks_j.bsk, p.cbs_base_log, p)
+    # prepared int8 BSK forces the pallas kernel (interpret mode on CPU);
+    # NOTE the test params DO activate plane truncation (sigma_bsk >= 32*74),
+    # so the prepared key drops plane 0 while the raw CPU matmul path keeps
+    # it: compare decoded bits, not raw phases
+    lwe_pre = br.pbs_bit_to_level(dual_pre, prepared.bsk, p.cbs_base_log, p)
     ph_raw = client.decrypt_phase(np.asarray(lwe_raw))
     ph_pre = client.decrypt_phase(np.asarray(lwe_pre))
-    # same bit, both within noise; pallas vs matmul lowering may round
-    # differently only via the BSK plane truncation (disabled for test params)
     dec_raw = ((ph_raw + np.uint64(1 << 62)) >> np.uint64(63)) & np.uint64(1)
     dec_pre = ((ph_pre + np.uint64(1 << 62)) >> np.uint64(63)) & np.uint64(1)
     np.testing.assert_array_equal(dec_pre, dec_raw)
+
+    # with truncation disabled, the prepared-pallas and raw-matmul lowerings
+    # are both exact mod 2^64 and must agree BIT-FOR-BIT
+    import os
+    os.environ["TFHE_BSK_TRUNC"] = "0"
+    try:
+        prepared0 = keys_mod.ServerKeySet(
+            bsk=br.prepare_bsk(sks_j.bsk, p), ksk=prepared.ksk,
+            pfpksk=prepared.pfpksk, pksk=sks_j.pksk)
+        lwe_raw0 = br.pbs_bit_to_level(dual_raw, sks_j.bsk, p.cbs_base_log, p)
+        lwe_pre0 = br.pbs_bit_to_level(dual_raw, prepared0.bsk,
+                                       p.cbs_base_log, p)
+        np.testing.assert_array_equal(np.asarray(lwe_pre0),
+                                      np.asarray(lwe_raw0))
+    finally:
+        del os.environ["TFHE_BSK_TRUNC"]
 
     out_raw = ks.pfks_all(lwe_raw, sks_j.pfpksk, p)
     out_pre = ks.pfks_all(lwe_raw, prepared.pfpksk, p)

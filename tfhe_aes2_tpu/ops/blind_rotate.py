@@ -159,6 +159,10 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
     # 0.91ms production CMux step was this per-call setup amortized over the
     # scan
     prepared = getattr(bsk, "dtype", None) == jnp.int8
+    if prepared and isinstance(use_conv, str) and use_conv != "pallas":
+        raise ValueError(
+            f"blind_rotate mode {use_conv!r} needs the raw u64 BSK, but a "
+            "prepared int8 plane tensor was passed (keys.prepare_server_keys)")
     mode = "pallas" if prepared else resolve_mode(use_conv)
     lwe = jnp.asarray(lwe, U64)
     batch_shape = lwe.shape[:-1]
@@ -259,6 +263,8 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                 return out.reshape(batch_shape + (k1, n))
 
             if kern_kind == "longk":
+                if bsk_planes is None:       # prepared BSK
+                    bsk_planes = jnp.transpose(ext_or_all, (0, 3, 2, 1, 4))
                 # [n_lwe, O, 8-j_start(j), R, 2N]
                 ext_oj_all = jnp.transpose(bsk_planes, (0, 3, 1, 2, 4))
 

@@ -276,6 +276,8 @@ def prepare_server_keys(sks: ServerKeySet, params: WopbsParams) -> ServerKeySet:
     if jax.default_backend() == "cpu":
         # CPU lowers through matmul/conv modes that need the raw u64 keys
         return sks
+    if jax.numpy.dtype(getattr(sks.bsk, "dtype", "uint64")) == jax.numpy.int8:
+        return sks  # already prepared (idempotent)
 
     bsk_p = jax.jit(br.prepare_bsk, static_argnames=("params",))(
         sks.bsk, params=params)

@@ -172,25 +172,32 @@ def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref):
     -11%/step at production shapes, probes/bench_probe9.py "packed"). Extracted
     plane VALUES feed the dots directly — unpacking into an int8 scratch
     costs more than it saves."""
-    js_all = [j for j in range(j_start, 8)
-              if any(i + j < 8 for i in range(n_d))]
+    for j, ncm in _packed_nc_planes(
+            n, [j for j in range(j_start, 8)
+                if any(i + j < 8 for i in range(n_d))],
+            lambda j: ext_at(j - j_start)):
+        for i in range(n_d):
+            s = i + j
+            if s >= 8:
+                continue
+            contrib = jnp.dot(dig_at(i), ncm,
+                              preferred_element_type=jnp.int32)
+            part_ref[s] = part_ref[s] + contrib
+
+
+def _packed_nc_planes(n: int, js_all, ext_row_at):
+    """Yield (j, negacirculant[N, N] int8) for each plane j in js_all, built
+    4 planes per int32 rotation ladder (see _packed_dots docstring)."""
     for g in range(0, len(js_all), 4):
         js = js_all[g: g + 4]
         row = None
         for p_i, j in enumerate(js):
-            b8 = ext_at(j - j_start)
+            b8 = ext_row_at(j)
             word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
             row = word if row is None else row | word
         packed = _nc_rows(row, n)[:, :n]                       # [N, N] int32
         for p_i, j in enumerate(js):
-            ncm = ((packed << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
-            for i in range(n_d):
-                s = i + j
-                if s >= 8:
-                    continue
-                contrib = jnp.dot(dig_at(i), ncm,
-                                  preferred_element_type=jnp.int32)
-                part_ref[s] = part_ref[s] + contrib
+            yield j, ((packed << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
 
 
 def _recombine(j_start: int, lo, hi, part_ref):
@@ -333,63 +340,6 @@ def rot_diff_digits(acc, t, base_log: int, levels: int, n_d: int,
     return out.reshape(k1 * levels, n_d, b, n)
 
 
-def _rot_diff_digits_cat_kernel(n: int, base_log: int, levels: int,
-                                n_d: int, t_ref, acc_ref, out_ref):
-    """Grid (BT, U) body: like _rot_diff_digits_kernel but emitting the
-    limb-concat layout [levels, B, n_d·N] (columns [dig_lo | dig_hi]) that
-    the descending-scratch bucket kernel consumes as one shared LHS.
-
-    Block shapes (B = one batch tile):
-    t_ref   [B, 1]             int32
-    acc_ref [1, 2, B, N]       uint32 (accumulator (lo, hi), component u)
-    out_ref [1, levels, B, n_d·N] int8 (rows (u, l) of [R, B, n_d·N])
-    """
-    def write_plane(l, i, p):
-        out_ref[0, l, :, i * n: (i + 1) * n] = p
-
-    _glue_body(n, base_log, levels, n_d, acc_ref[0, 0], acc_ref[0, 1],
-               t_ref[...], write_plane)
-
-
-@functools.partial(jax.jit, static_argnames=("base_log", "levels", "n_d",
-                                              "interpret", "max_tile"))
-def rot_diff_digits_cat(acc, t, base_log: int, levels: int, n_d: int,
-                        interpret: bool | None = None,
-                        max_tile: int | None = None):
-    """rot_diff_digits emitting int8 [R, B, n_d·N] (columns = limb-concat
-    [dig_lo | dig_hi]) — the shared-LHS layout of extprod_step_desc."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    if max_tile is None:
-        max_tile = _default_tile()
-    k1, two, b, n = acc.shape
-    assert two == 2
-    bt = b
-    while bt > max_tile:
-        assert bt % 2 == 0, f"batch {b} not tileable to <={max_tile}"
-        bt //= 2
-    n_bt = b // bt
-
-    t2 = t.reshape(b, 1).astype(jnp.int32)
-    kern = functools.partial(_rot_diff_digits_cat_kernel, n, base_log,
-                             levels, n_d)
-    with jax.enable_x64(False):
-        out = pl.pallas_call(
-            kern,
-            grid=(n_bt, k1),
-            in_specs=[
-                pl.BlockSpec((bt, 1), lambda bb, uu: (bb, 0)),
-                pl.BlockSpec((1, 2, bt, n), lambda bb, uu: (uu, 0, bb, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, levels, bt, n_d * n),
-                                   lambda bb, uu: (uu, 0, bb, 0)),
-            out_shape=jax.ShapeDtypeStruct((k1, levels, b, n_d * n),
-                                           jnp.int8),
-            interpret=interpret,
-        )(t2, acc)
-    return out.reshape(k1 * levels, b, n_d * n)
-
-
 def _default_tile() -> int:
     """Batch tile for the fused blind-rotate kernels. Larger tiles amortize
     the per-(o, r) in-VMEM negacirculant builds (measured dominant at small
@@ -434,7 +384,7 @@ def extprod_step2(dig_r_first, ext_or, acc,
     # bt=1024 (0.600 -> 0.520 blocks/s) — default 1
     import os as _os
     rg = int(_os.environ.get("TFHE_BR_RG", "1"))
-    if r % rg != 0:
+    if rg < 1 or r % rg != 0:
         rg = 1
     kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, rg)
     with jax.enable_x64(False):
@@ -677,22 +627,7 @@ def _kernel_merged(n_d: int, n: int, k1: int, levels: int, base_log: int,
 
     @pl.when(r == r_cnt - 1)
     def _fini():
-        lo = acc_ref[oo, 0]
-        hi = acc_ref[oo, 1]
-        for s in range(j_start, 8):
-            val = part_ref[s]
-            v_lo = val.astype(jnp.uint32)
-            v_hi = (val >> 31).astype(jnp.uint32)
-            sh = 8 * s
-            if sh == 0:
-                c_lo, c_hi = v_lo, v_hi
-            elif sh < 32:
-                c_lo = v_lo << jnp.uint32(sh)
-                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
-            else:
-                c_lo = jnp.zeros_like(v_lo)
-                c_hi = v_lo << jnp.uint32(sh - 32)
-            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+        lo, hi = _recombine(j_start, acc_ref[oo, 0], acc_ref[oo, 1], part_ref)
         out_ref[oo, 0] = lo
         out_ref[oo, 1] = hi
 
@@ -848,22 +783,7 @@ def _kernel_longk(n_d: int, n: int, r_cnt: int, j_start: int,
 
     @pl.when(jj == j_cnt - 1)
     def _fini():
-        lo = acc_ref[0, 0]
-        hi = acc_ref[0, 1]
-        for s in range(j_start, 8):
-            val = part_ref[s]
-            v_lo = val.astype(jnp.uint32)
-            v_hi = (val >> 31).astype(jnp.uint32)
-            sh = 8 * s
-            if sh == 0:
-                c_lo, c_hi = v_lo, v_hi
-            elif sh < 32:
-                c_lo = v_lo << jnp.uint32(sh)
-                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
-            else:
-                c_lo = jnp.zeros_like(v_lo)
-                c_hi = v_lo << jnp.uint32(sh - 32)
-            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+        lo, hi = _recombine(j_start, acc_ref[0, 0], acc_ref[0, 1], part_ref)
         out_ref[0, 0] = lo
         out_ref[0, 1] = hi
 
@@ -959,22 +879,7 @@ def _kernel_bucket(n_d: int, n: int, r_cnt: int, j_start: int,
 
     @pl.when(ss == s_cnt - 1)
     def _fini():
-        lo = acc_ref[0, 0]
-        hi = acc_ref[0, 1]
-        for s in range(j_start, 8):
-            val = part_ref[s]
-            v_lo = val.astype(jnp.uint32)
-            v_hi = (val >> 31).astype(jnp.uint32)
-            sh = 8 * s
-            if sh == 0:
-                c_lo, c_hi = v_lo, v_hi
-            elif sh < 32:
-                c_lo = v_lo << jnp.uint32(sh)
-                c_hi = (v_hi << jnp.uint32(sh)) | (v_lo >> jnp.uint32(32 - sh))
-            else:
-                c_lo = jnp.zeros_like(v_lo)
-                c_hi = v_lo << jnp.uint32(sh - 32)
-            lo, hi = _add_carry(lo, hi, c_lo, c_hi)
+        lo, hi = _recombine(j_start, acc_ref[0, 0], acc_ref[0, 1], part_ref)
         out_ref[0, 0] = lo
         out_ref[0, 1] = hi
 
@@ -1040,28 +945,20 @@ def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     # packed ladders: 4 limb planes per int32 rotation ladder (see
-    # _packed_dots — same -VPU-cost trick, per-lane GGSW variant)
+    # _packed_nc_planes — same -VPU-cost trick, per-lane GGSW variant)
     js_all = [j for j in range(8) if any(i + j < 8 for i in range(n_d))]
-    for gi in range(0, len(js_all), 4):
-        js = js_all[gi: gi + 4]
-        row = None
-        for p_i, j in enumerate(js):
-            b8 = ext_ref[0, 0, 0, j: j + 1, :]
-            word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
-            row = word if row is None else row | word
-        packed = _nc_rows(row, n)[:, :n]                          # [N, N] i32
-        for p_i, j in enumerate(js):
-            ncm = ((packed << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
-            # one [n_d·G, N] x [N, N] dot covers every digit plane at this j
-            contrib = jnp.dot(dig_ref[0, 0], ncm,
-                              preferred_element_type=jnp.int32)   # [n_d·G, N]
-            for i in range(n_d):
-                s = i + j
-                if s >= 8:
-                    continue
-                blk = out_ref[0, 0, s * g: (s + 1) * g]
-                out_ref[0, 0, s * g: (s + 1) * g] = (
-                    blk + contrib[i * g: (i + 1) * g])
+    for j, ncm in _packed_nc_planes(n, js_all,
+                                    lambda j: ext_ref[0, 0, 0, j: j + 1, :]):
+        # one [n_d·G, N] x [N, N] dot covers every digit plane at this j
+        contrib = jnp.dot(dig_ref[0, 0], ncm,
+                          preferred_element_type=jnp.int32)       # [n_d·G, N]
+        for i in range(n_d):
+            s = i + j
+            if s >= 8:
+                continue
+            blk = out_ref[0, 0, s * g: (s + 1) * g]
+            out_ref[0, 0, s * g: (s + 1) * g] = (
+                blk + contrib[i * g: (i + 1) * g])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
