@@ -164,3 +164,105 @@ void tfhe_decompose(const uint64_t* xs, int64_t count, int base_log,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded deterministic fills: ChaCha20 is a counter-mode keystream, so
+// out[i] is a pure function of (key, nonce, base_counter + i/lane_count) —
+// any thread count produces the same stream. Used for the large evaluation-
+// key mask/noise tensors in keygen (numpy's bounded u64 path measured
+// ~12 MB/s; this fills at ~memory speed on all cores).
+
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+void tfhe_rng_fill_u64_par(void* rng, uint64_t* out, int64_t count) {
+  Rng* r = static_cast<Rng*>(rng);
+  const uint64_t base = r->counter;
+  const int64_t nblocks = (count + 7) / 8;   // 8 u64 lanes per 64B block
+  r->counter += static_cast<uint64_t>(nblocks);
+  r->pos = 16;  // invalidate the sequential buffer
+  // pre-touch destination pages single-threaded (cheap with plain 4KB
+  // pages; see the MADV_HUGEPAGE note in tfhe_aes2_tpu/__init__.py for why
+  // fresh numpy buffers used to fault in at ~500us/page)
+  for (int64_t i = 0; i < count; i += 512) out[i] = 0;
+  if (count) out[count - 1] = 0;
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 16) nt = 16;
+  auto work = [&](int64_t b0, int64_t b1) {
+    uint32_t buf[16];
+    for (int64_t b = b0; b < b1; ++b) {
+      chacha20_block(r->key, base + static_cast<uint64_t>(b), r->nonce, buf);
+      const int64_t i0 = b * 8;
+      const int64_t lim = (count - i0 < 8) ? (count - i0) : 8;
+      for (int64_t l = 0; l < lim; ++l)
+        out[i0 + l] = static_cast<uint64_t>(buf[2 * l]) |
+                      (static_cast<uint64_t>(buf[2 * l + 1]) << 32);
+    }
+  };
+  if (nt == 1 || nblocks < 64) { work(0, nblocks); return; }
+  std::vector<std::thread> ts;
+  const int64_t per = (nblocks + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; ++t) {
+    int64_t b0 = static_cast<int64_t>(t) * per;
+    int64_t b1 = b0 + per < nblocks ? b0 + per : nblocks;
+    if (b0 >= b1) break;
+    ts.emplace_back(work, b0, b1);
+  }
+  for (auto& th : ts) th.join();
+}
+
+// Rounded-gaussian fill, threaded: 4 Box-Muller gaussians per block (each
+// consumes two u64 lanes), same counter-indexed determinism as above.
+void tfhe_rng_fill_gaussian_par(void* rng, uint64_t* out, int64_t count,
+                                double std_torus) {
+  Rng* r = static_cast<Rng*>(rng);
+  const uint64_t base = r->counter;
+  const int64_t nblocks = (count + 3) / 4;
+  r->counter += static_cast<uint64_t>(nblocks);
+  r->pos = 16;
+  // pre-touch destination pages single-threaded (cheap with plain 4KB
+  // pages; see the MADV_HUGEPAGE note in tfhe_aes2_tpu/__init__.py for why
+  // fresh numpy buffers used to fault in at ~500us/page)
+  for (int64_t i = 0; i < count; i += 512) out[i] = 0;
+  if (count) out[count - 1] = 0;
+  const double scale = std_torus * 18446744073709551616.0;  // 2^64
+  unsigned nt = std::thread::hardware_concurrency();
+  if (nt == 0) nt = 1;
+  if (nt > 16) nt = 16;
+  auto work = [&](int64_t b0, int64_t b1) {
+    uint32_t buf[16];
+    for (int64_t b = b0; b < b1; ++b) {
+      chacha20_block(r->key, base + static_cast<uint64_t>(b), r->nonce, buf);
+      const int64_t i0 = b * 4;
+      const int64_t lim = (count - i0 < 4) ? (count - i0) : 4;
+      for (int64_t l = 0; l < lim; ++l) {
+        const uint64_t w1 = static_cast<uint64_t>(buf[4 * l]) |
+                            (static_cast<uint64_t>(buf[4 * l + 1]) << 32);
+        const uint64_t w2 = static_cast<uint64_t>(buf[4 * l + 2]) |
+                            (static_cast<uint64_t>(buf[4 * l + 3]) << 32);
+        const double u1 = (w1 >> 11) * 0x1.0p-53 + 0x1.0p-54;
+        const double u2 = (w2 >> 11) * 0x1.0p-53;
+        const double g =
+            std::sqrt(-2.0 * std::log(u1)) *
+            std::cos(6.283185307179586 * u2) * scale;
+        out[i0 + l] = static_cast<uint64_t>(
+            static_cast<int64_t>(std::llrint(g)));
+      }
+    }
+  };
+  if (nt == 1 || nblocks < 64) { work(0, nblocks); return; }
+  std::vector<std::thread> ts;
+  const int64_t per = (nblocks + nt - 1) / nt;
+  for (unsigned t = 0; t < nt; ++t) {
+    int64_t b0 = static_cast<int64_t>(t) * per;
+    int64_t b1 = b0 + per < nblocks ? b0 + per : nblocks;
+    if (b0 >= b1) break;
+    ts.emplace_back(work, b0, b1);
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // extern "C"

@@ -40,4 +40,17 @@ import jax  # noqa: E402
 # 64-bit torus arithmetic requires x64 mode. Must happen before any tracing.
 jax.config.update("jax_enable_x64", True)
 
+# numpy madvises MADV_HUGEPAGE on every allocation >=4MB, and THP first-touch
+# faults on this host cost ~500us/page vs ~2us for plain 4KB pages — measured
+# 10.9s vs 0.03s to fault in one fresh 80MB buffer (320x). Keygen alone
+# allocates ~1.5GB of fresh numpy buffers, so this single switch took keygen
+# from ~98s to ~12s. Runtime toggle (not NUMPY_MADVISE_HUGEPAGE): numpy is
+# usually already imported via jax by the time this package loads.
+try:  # numpy >= 2.0
+    from numpy._core import multiarray as _np_ma  # noqa: E402
+except ImportError:  # numpy 1.x
+    from numpy.core import multiarray as _np_ma  # noqa: E402
+if hasattr(_np_ma, "_set_madvise_hugepage"):
+    _np_ma._set_madvise_hugepage(False)
+
 __version__ = "0.1.0"

@@ -42,6 +42,16 @@ def lib() -> ctypes.CDLL:
         l.tfhe_rng_fill_u64.argtypes = [ctypes.c_void_p, u64p, ctypes.c_int64]
         l.tfhe_rng_fill_gaussian.argtypes = [
             ctypes.c_void_p, u64p, ctypes.c_int64, ctypes.c_double]
+        if not hasattr(l, "tfhe_rng_fill_u64_par"):
+            # stale build from before the threaded fills: rebuild
+            subprocess.run(["ninja"], cwd=_NATIVE_DIR / "build", check=True,
+                           capture_output=True)
+            l = ctypes.CDLL(str(_NATIVE_DIR / "build" / "libtfhe_core.so"))
+            raise RuntimeError("rebuilt native lib; reimport required")
+        l.tfhe_rng_fill_u64_par.argtypes = [
+            ctypes.c_void_p, u64p, ctypes.c_int64]
+        l.tfhe_rng_fill_gaussian_par.argtypes = [
+            ctypes.c_void_p, u64p, ctypes.c_int64, ctypes.c_double]
         l.tfhe_lwe_encrypt.argtypes = [
             ctypes.c_void_p, u64p, ctypes.c_int64, u64p, ctypes.c_int64,
             ctypes.c_double, u64p]
@@ -76,6 +86,19 @@ class NativeRng:
     def gaussian_u64(self, count: int, std_torus: float) -> np.ndarray:
         out = np.empty(count, np.uint64)
         self._l.tfhe_rng_fill_gaussian(self._h, out, count, std_torus)
+        return out
+
+    def uniform_u64_par(self, count: int) -> np.ndarray:
+        """Threaded fill; deterministic (counter-indexed ChaCha20 blocks,
+        independent of thread count) but a DIFFERENT stream than the
+        sequential uniform_u64."""
+        out = np.empty(count, np.uint64)
+        self._l.tfhe_rng_fill_u64_par(self._h, out, count)
+        return out
+
+    def gaussian_u64_par(self, count: int, std_torus: float) -> np.ndarray:
+        out = np.empty(count, np.uint64)
+        self._l.tfhe_rng_fill_gaussian_par(self._h, out, count, std_torus)
         return out
 
     def lwe_encrypt(self, sk: np.ndarray, msgs: np.ndarray,

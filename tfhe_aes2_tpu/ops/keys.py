@@ -139,6 +139,34 @@ def _uniform_u64(rng: np.random.Generator, shape) -> np.ndarray:
                         dtype=np.uint64, endpoint=True)
 
 
+class _KeygenRng:
+    """Fill source for the large evaluation-key tensors: threaded ChaCha20
+    from the native core when it builds (fills at memory speed on all cores;
+    deterministic — ChaCha20 is counter-mode, so the stream is independent of
+    thread count), numpy fallback otherwise. Secret keys and client-side bit
+    encryption keep using the numpy Generator passed around separately."""
+
+    def __init__(self, seed: int):
+        self._np = np.random.default_rng(seed ^ 0x6B65_7967)  # fallback only
+        try:
+            from tfhe_aes2_tpu import native
+            self._native = native.NativeRng(seed)
+        except Exception:
+            self._native = None
+
+    def uniform(self, shape) -> np.ndarray:
+        if self._native is None:
+            return _uniform_u64(self._np, shape)
+        count = int(np.prod(shape, dtype=np.int64))
+        return self._native.uniform_u64_par(count).reshape(shape)
+
+    def gaussian(self, std_torus: float, shape) -> np.ndarray:
+        if self._native is None:
+            return _gaussian_u64(self._np, std_torus, shape)
+        count = int(np.prod(shape, dtype=np.int64))
+        return self._native.gaussian_u64_par(count, std_torus).reshape(shape)
+
+
 _CPU_CAST = None
 
 
@@ -195,7 +223,7 @@ class _GlweEncryptor:
     """
 
     def __init__(self, params: WopbsParams, glwe_sk: np.ndarray,
-                 rng: np.random.Generator):
+                 rng: "_KeygenRng"):
         self.params = params
         self.rng = rng
         k, n = glwe_sk.shape
@@ -214,8 +242,8 @@ class _GlweEncryptor:
         """-> (A [rows, k, N], B [rows, N])"""
         p = self.params
         k, n = p.glwe_dimension, p.polynomial_size
-        a = _uniform_u64(self.rng, (rows, k, n))
-        e = _gaussian_u64(self.rng, noise_std, (rows, n))
+        a = self.rng.uniform((rows, k, n))
+        e = self.rng.gaussian(noise_std, (rows, n))
         a2 = a.reshape(rows, k * n)
         b = e.copy()
         with np.errstate(over="ignore"):
@@ -299,7 +327,8 @@ def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, Server
     client = ClientKey(params=p, lwe_sk=lwe_sk, glwe_sk=glwe_sk, rng=rng)
     big_sk = client.big_sk
 
-    enc = _GlweEncryptor(p, glwe_sk, rng)
+    krng = _KeygenRng(seed)
+    enc = _GlweEncryptor(p, glwe_sk, krng)
 
     # ---- BSK: GGSW_S(s_i), rows (l, u): enc(0) + s_i·g_l at component u ----
     L = p.pbs_level
@@ -314,8 +343,8 @@ def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, Server
                 bsk[:, l, u, u, 0] += lwe_sk * g
     # ---- KSK: LWE_s(s'_i · g_l) ----
     Lk = p.ks_level
-    a = _uniform_u64(rng, (kN, Lk, n))
-    e = _gaussian_u64(rng, p.lwe_noise_std, (kN, Lk))
+    a = krng.uniform((kN, Lk, n))
+    e = krng.gaussian(p.lwe_noise_std, (kN, Lk))
     with np.errstate(over="ignore"):
         body = _wrap_dot(a, lwe_sk) + e
         for l in range(Lk):
