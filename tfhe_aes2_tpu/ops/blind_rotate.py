@@ -112,17 +112,14 @@ def resolve_mode(mode: str | bool | None) -> str:
 def bsk_j_start(params: WopbsParams) -> int:
     """Lowest BSK limb plane kept by the pallas CMux kernels.
 
-    Dropping plane 0 is sound when its products sit far below the
-    blind-rotate noise floor: the per-term truncation error std is
-    ~127/sqrt(12) ≈ 37 vs the BSK noise std (both enter the same
-    Σ digit·(·) sums), so at sigma_bsk >= 32·74 the added variance is
-    < 0.1% of the inherent CMux noise. Saves 2/15 of the MXU work.
+    Dropping planes below the BSK noise floor is sound: the truncation error
+    enters the same Σ digit·(·) sums as the BSK noise itself, and the
+    criterion 2^(8·js)/sqrt(12) <= sigma_bsk/32 keeps the added variance
+    < 0.1% (ops/truncation.py). js=1 at production (2/15 of the MXU work);
     TFHE_BSK_TRUNC=0 disables."""
-    import os
+    from tfhe_aes2_tpu.ops import truncation
 
-    sigma_bsk = params.glwe_noise_std * (2.0 ** 64)
-    return 1 if (sigma_bsk >= 32 * 74 and
-                 os.environ.get("TFHE_BSK_TRUNC", "1") != "0") else 0
+    return truncation.bsk_j_start(params)
 
 
 def prepare_bsk(bsk, params: WopbsParams):

@@ -118,15 +118,23 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
     rows = ggsw_to_rows(ggsw.reshape((-1,) + ggsw.shape[-4:]))
     rows = rows.reshape(batch + (t,) + rows.shape[-3:])            # [..., T, R, k+1, N]
 
+    js_vp = 0
     if mode == "conv":
         flat_rows = rows.reshape((-1,) + rows.shape[-3:])
         planes = jax.vmap(polynomial.split_polys_for_conv)(flat_rows)
         planes = planes.reshape(batch + (t,) + planes.shape[-4:])  # [..., T, 8, O, R, N]
     elif mode == "pallas":
+        from tfhe_aes2_tpu.ops import truncation
         from tfhe_aes2_tpu.ops.pallas import extprod
+        # the GGSW selectors are circuit-bootstrap outputs: their noise floor
+        # (~2^36 at production) covers the low limb planes, so the CMux-tree
+        # dots skip them (ops/truncation.py; TFHE_VP_TRUNC=0 disables)
+        js_vp = truncation.vp_ggsw_j_start(p)
         flat_rows = rows.reshape((-1,) + rows.shape[-3:])
         planes = jax.vmap(extprod.split_polys_for_pallas)(flat_rows)
-        planes = planes.reshape(batch + (t,) + planes.shape[-4:])  # [..., T, 8, R, k+1, 2N]
+        planes = planes[:, js_vp:]
+        planes = planes.reshape(batch + (t,) + planes.shape[-4:])
+        # [..., T, 8-js, R, k+1, 2N]
 
     def cmux_stage(bit_idx, ct0, ct1, group_ndim):
         if mode == "matmul":
@@ -149,7 +157,7 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
         if mode == "pallas":
             from tfhe_aes2_tpu.ops.pallas import extprod
             out = extprod.polymul_digits_pallas_grouped(
-                d4, kp, dec.digit_bound(p.cbs_base_log))
+                d4, kp, dec.digit_bound(p.cbs_base_log), j_start=js_vp)
         else:
             out = polynomial.polymul_digits_conv_grouped(
                 d4, kp, dec.digit_bound(p.cbs_base_log))

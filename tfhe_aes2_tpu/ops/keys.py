@@ -288,17 +288,21 @@ def prepare_server_keys(sks: ServerKeySet, params: WopbsParams) -> ServerKeySet:
     runs inside the hot jits (blind rotate re-derived its plane tensor on
     every PBS call — ~0.17ms of the 0.91ms production CMux step).
 
-    bsk    -> blind-rotate scan planes [n, k+1, R, 8-j_start, 2N] int8
-    ksk    -> keyswitch planes [8, kN, L, n+1] int8
-    pfpksk -> pfKS planes [8, kN+1, L, k+1, k+1, N] int8
+    bsk    -> blind-rotate scan planes [n, k+1, R, 8-js, 2N] int8
+    ksk    -> keyswitch planes [8-js, kN, L, n+1] int8
+    pfpksk -> pfKS planes [8-js, kN+1, L, k+1, k+1, N] int8
     pksk stays u64 (cold path: shortint_1bit packing keyswitch only).
 
-    The consumers sniff the int8 dtype; raw u64 keys keep working (CPU mode
-    and the conv/matmul lowerings need them). Call this on DEVICE arrays
-    after transfer; only meaningful off-CPU."""
+    Each key keeps only the limb planes above its noise floor (per-key js
+    from ops/truncation.py — at production the KSK drops 6 of 8 planes);
+    consumers recover js from the plane count. The consumers sniff the int8
+    dtype; raw u64 keys keep working (CPU mode and the conv/matmul lowerings
+    need them). Call this on DEVICE arrays after transfer; only meaningful
+    off-CPU."""
     import jax
 
     from tfhe_aes2_tpu.ops import blind_rotate as br
+    from tfhe_aes2_tpu.ops import truncation
     from tfhe_aes2_tpu.ops.torus import split_u64_signed
 
     if jax.default_backend() == "cpu":
@@ -307,10 +311,13 @@ def prepare_server_keys(sks: ServerKeySet, params: WopbsParams) -> ServerKeySet:
     if jax.numpy.dtype(getattr(sks.bsk, "dtype", "uint64")) == jax.numpy.int8:
         return sks  # already prepared (idempotent)
 
+    def split_trunc(key, js):
+        return jax.jit(lambda x: split_u64_signed(x)[js:])(key)
+
     bsk_p = jax.jit(br.prepare_bsk, static_argnames=("params",))(
         sks.bsk, params=params)
-    ksk_p = jax.jit(split_u64_signed)(sks.ksk)
-    pfpksk_p = jax.jit(split_u64_signed)(sks.pfpksk)
+    ksk_p = split_trunc(sks.ksk, truncation.ksk_j_start(params))
+    pfpksk_p = split_trunc(sks.pfpksk, truncation.pfpksk_j_start(params))
     return ServerKeySet(bsk=bsk_p, ksk=ksk_p, pfpksk=pfpksk_p, pksk=sks.pksk)
 
 

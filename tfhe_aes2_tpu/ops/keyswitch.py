@@ -27,10 +27,12 @@ def keyswitch(lwe_big, ksk, params: WopbsParams):
     p = params
     lwe_big = jnp.asarray(lwe_big, U64)
     if getattr(ksk, "dtype", None) == jnp.int8:   # prepared limb planes
-        _, kn, levels, n1 = ksk.shape
-        m2 = ksk.reshape((8, kn * levels, n1))
+        nj, kn, levels, n1 = ksk.shape
+        js = 8 - nj           # planes dropped at prepare time (truncation.py)
+        m2 = ksk.reshape((nj, kn * levels, n1))
     else:
         ksk = jnp.asarray(ksk, U64)
+        js = 0
         kn, levels, n1 = ksk.shape
         m2 = ksk.reshape((kn * levels, n1))
     a, b = lwe_big[..., :-1], lwe_big[..., -1]
@@ -39,7 +41,7 @@ def keyswitch(lwe_big, ksk, params: WopbsParams):
     batch = digits.shape[:-2]
     d2 = digits.reshape((-1, kn * levels))
     acc = exact_matmul(d2, m2, decomposition.digit_bound(p.ks_base_log),
-                       max_k=kn * levels)
+                       max_k=kn * levels, m_j_start=js)
     acc = acc.reshape(batch + (n1,))
 
     out = jnp.uint64(0) - acc
@@ -65,10 +67,12 @@ def pfks_all(lwe_big, pfpksk, params: WopbsParams):
     p = params
     lwe_big = jnp.asarray(lwe_big, U64)
     if getattr(pfpksk, "dtype", None) == jnp.int8:  # prepared limb planes
-        _, kn1, levels, u_cnt, k1, n = pfpksk.shape
-        m2 = pfpksk.reshape((8, kn1 * levels, u_cnt * k1 * n))
+        nj, kn1, levels, u_cnt, k1, n = pfpksk.shape
+        js = 8 - nj           # planes dropped at prepare time (truncation.py)
+        m2 = pfpksk.reshape((nj, kn1 * levels, u_cnt * k1 * n))
     else:
         pfpksk = jnp.asarray(pfpksk, U64)
+        js = 0
         kn1, levels, u_cnt, k1, n = pfpksk.shape
         m2 = pfpksk.reshape((kn1 * levels, u_cnt * k1 * n))
 
@@ -81,5 +85,5 @@ def pfks_all(lwe_big, pfpksk, params: WopbsParams):
     batch = digits.shape[:-2]
     d2 = digits.reshape((-1, kn1 * levels))
     out = exact_matmul(d2, m2, decomposition.digit_bound(p.pfks_base_log),
-                       max_k=kn1 * levels)
+                       max_k=kn1 * levels, m_j_start=js)
     return out.reshape(batch + (u_cnt, k1, n))

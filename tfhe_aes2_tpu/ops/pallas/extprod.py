@@ -929,14 +929,19 @@ def extprod_step3(dig_r_first, ext_or, acc,
     return out
 
 
-def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
+def _kernel_grouped(n_d: int, g: int, n: int, j_start: int,
+                    dig_ref, ext_ref, out_ref):
     """Grid (B, O, R) body for per-lane GGSW kernels (vertical packing: every
     batch lane has its own selector GGSW, shared by its G accumulators).
     Block shapes:
-    dig_ref [1, 1, n_d·G, N]  int8  ((b, r) of [B, R, n_d·G, N])
-    ext_ref [1, 1, 1, 8, 2N]  int8  ((b, o, r) of [B, O, R, 8, 2N])
-    out_ref [1, 1, 8·G, N]    int32 ((b, o), revisited across r; row s·G+t
-                                     holds partial s of accumulator t)
+    dig_ref [1, 1, n_d·G, N]       int8  ((b, r) of [B, R, n_d·G, N])
+    ext_ref [1, 1, 1, 8-js, 2N]    int8  ((b, o, r) of [B, O, R, 8-js, 2N])
+    out_ref [1, 1, 8·G, N]         int32 ((b, o), revisited across r; row
+                                          s·G+t holds partial s of acc t)
+
+    j_start > 0 drops the lowest GGSW limb planes — these operands are
+    runtime circuit-bootstrap outputs whose noise floor sits ~2^36 at
+    production, so half the planes carry no signal (ops/truncation.py).
     """
     r = pl.program_id(2)
 
@@ -946,9 +951,11 @@ def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
 
     # packed ladders: 4 limb planes per int32 rotation ladder (see
     # _packed_nc_planes — same -VPU-cost trick, per-lane GGSW variant)
-    js_all = [j for j in range(8) if any(i + j < 8 for i in range(n_d))]
-    for j, ncm in _packed_nc_planes(n, js_all,
-                                    lambda j: ext_ref[0, 0, 0, j: j + 1, :]):
+    js_all = [j for j in range(j_start, 8)
+              if any(i + j < 8 for i in range(n_d))]
+    for j, ncm in _packed_nc_planes(
+            n, js_all,
+            lambda j: ext_ref[0, 0, 0, j - j_start: j - j_start + 1, :]):
         # one [n_d·G, N] x [N, N] dot covers every digit plane at this j
         contrib = jnp.dot(dig_ref[0, 0], ncm,
                           preferred_element_type=jnp.int32)       # [n_d·G, N]
@@ -961,26 +968,29 @@ def _kernel_grouped(n_d: int, g: int, n: int, dig_ref, ext_ref, out_ref):
                 blk + contrib[i * g: (i + 1) * g])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "j_start"))
 def extprod_partials_grouped(digit_planes, ext_planes,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             j_start: int = 0):
     """Per-lane-kernel external product (the vertical-packing CMux shape).
 
     digit_planes int8 [n_d, B, G, R, N]: limb planes of the gadget digits of
-    lane b's G accumulators; ext_planes int8 [8, B, R, O, 2N]: lane b's GGSW
-    row limb planes -> int32 [8, B, G, O, N] partial sums (weight 2^(8s)).
+    lane b's G accumulators; ext_planes int8 [8-j_start, B, R, O, 2N]: lane
+    b's GGSW row limb planes (lowest j_start planes pre-dropped — noise-floor
+    truncation, ops/truncation.py) -> int32 [8, B, G, O, N] partial sums
+    (weight 2^(8s); rows s < j_start stay zero).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n_d, b, g, r, n = digit_planes.shape
-    _, b2, r2, o, two_n = ext_planes.shape
-    assert (b2, r2, two_n) == (b, r, 2 * n)
+    j_cnt, b2, r2, o, two_n = ext_planes.shape
+    assert (b2, r2, two_n) == (b, r, 2 * n) and j_cnt == 8 - j_start
 
     # [B, R, n_d·G, N]: fuse the digit planes into the matmul M axis
     dig = jnp.transpose(digit_planes, (1, 3, 0, 2, 4)).reshape(
         (b, r, n_d * g, n))
-    ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))           # [B, O, R, 8, 2N]
-    kern = functools.partial(_kernel_grouped, n_d, g, n)
+    ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))        # [B, O, R, 8-js, 2N]
+    kern = functools.partial(_kernel_grouped, n_d, g, n, j_start)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -988,7 +998,7 @@ def extprod_partials_grouped(digit_planes, ext_planes,
             in_specs=[
                 pl.BlockSpec((1, 1, n_d * g, n),
                              lambda bb, oo, rr: (bb, rr, 0, 0)),
-                pl.BlockSpec((1, 1, 1, 8, two_n),
+                pl.BlockSpec((1, 1, 1, 8 - j_start, two_n),
                              lambda bb, oo, rr: (bb, oo, rr, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, 8 * g, n),
@@ -1000,21 +1010,24 @@ def extprod_partials_grouped(digit_planes, ext_planes,
     return jnp.transpose(out, (2, 0, 3, 1, 4))                 # [8, B, G, O, N]
 
 
-def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int):
+def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int,
+                                  j_start: int = 0):
     """Drop-in for polynomial.polymul_digits_conv_grouped on the pallas path.
 
     digits:     [B, G, R, N] int32 gadget digits (G lanes share lane b's GGSW)
-    ext_planes: [8, B, R, O, 2N] int8 (vmap of split_polys_for_pallas)
-    -> [B, G, O, N] u64, exact mod 2^64.
+    ext_planes: [8-j_start, B, R, O, 2N] int8 (vmap of split_polys_for_pallas,
+                lowest j_start planes dropped by the caller — noise-floor
+                truncation per ops/truncation.py)
+    -> [B, G, O, N] u64, exact mod 2^64 over the kept planes.
     """
     from tfhe_aes2_tpu.ops.torus import (limbs_for_bound, sext_i32_to_u64,
                                          split_int32_signed)
 
     n_d = limbs_for_bound(d_bound)
     d_planes = split_int32_signed(jnp.asarray(digits, jnp.int32), n_d)
-    parts = extprod_partials_grouped(d_planes, ext_planes)     # [8, B, G, O, N]
-    out = None
-    for s in range(8):
+    parts = extprod_partials_grouped(d_planes, ext_planes, j_start=j_start)
+    out = None                                                 # [8, B, G, O, N]
+    for s in range(j_start, 8):
         term = sext_i32_to_u64(parts[s]) << jnp.uint64(8 * s)
         out = term if out is None else out + term
     return out

@@ -87,12 +87,18 @@ def sext_i32_to_u64(x):
     return jnp.asarray(x, jnp.int64).astype(U64)
 
 
-def exact_matmul(d, m_u64, d_bound: int, dn: str = "bk,ko->bo", max_k: int | None = None):
+def exact_matmul(d, m_u64, d_bound: int, dn: str = "bk,ko->bo", max_k: int | None = None,
+                 m_j_start: int = 0):
     """Exact wrapping-u64 contraction out = einsum(dn, d, m) mod 2^64.
 
     d: integer tensor (digits), |d| <= d_bound. m_u64: uint64 tensor.
     `dn` is an einsum spec with exactly one contracted index; `max_k` (product
     of contracted extents) guards accumulator overflow.
+
+    `m_j_start` drops m's limb planes 0..m_j_start-1 (noise-floor truncation,
+    ops/truncation.py): only valid when m is an encryption whose noise std
+    covers the dropped weight. When m arrives pre-split with fewer than 8
+    planes (prepared server keys), the caller passes the matching j_start.
 
     This is the single hot primitive of the framework — keyswitch, pfKS and
     (via negacirculant matrices) every polynomial product route through it.
@@ -102,24 +108,31 @@ def exact_matmul(d, m_u64, d_bound: int, dn: str = "bk,ko->bo", max_k: int | Non
         exact while d_bound·128·K < 2^53. XLA CPU has no fast int8 GEMM.
     """
     d = jnp.asarray(d)
-    # m may arrive pre-split as int8 limb planes [8, ...m] (prepared server
-    # keys, keys.prepare_server_keys): the per-call split of a ~400MB key
-    # tensor otherwise dominates small contractions.
+    # m may arrive pre-split as int8 limb planes [8-j_start, ...m] (prepared
+    # server keys, keys.prepare_server_keys): the per-call split of a ~400MB
+    # key tensor otherwise dominates small contractions.
     m_u64 = jnp.asarray(m_u64) if getattr(m_u64, "dtype", None) == jnp.int8 \
         else jnp.asarray(m_u64, U64)
 
-    if jax.default_backend() == "cpu" and m_u64.dtype != jnp.int8:
+    if (jax.default_backend() == "cpu" and m_u64.dtype != jnp.int8
+            and m_j_start == 0):
+        # CPU oracle path stays exact (truncation is a TPU-throughput tool);
+        # an explicit m_j_start routes through the limb-plane path so the
+        # truncated semantics hold on every backend.
         return _exact_matmul_f64(d, m_u64, d_bound, dn, max_k)
-    return _exact_matmul_i8(d, m_u64, d_bound, dn, max_k)
+    return _exact_matmul_i8(d, m_u64, d_bound, dn, max_k, m_j_start)
 
 
-def _exact_matmul_i8(d, m_u64, d_bound: int, dn: str, max_k: int | None):
+def _exact_matmul_i8(d, m_u64, d_bound: int, dn: str, max_k: int | None,
+                     m_j_start: int = 0):
     n_d = limbs_for_bound(d_bound)
     d_planes = split_int32_signed(d.astype(jnp.int32), n_d)      # [n_d, ...d]
     if m_u64.dtype == jnp.int8:
         m_planes = m_u64                                         # pre-split
     else:
-        m_planes = split_u64_signed(m_u64)                       # [8, ...m]
+        m_planes = split_u64_signed(m_u64)[m_j_start:]           # [8-js, ...m]
+    assert m_planes.shape[0] == 8 - m_j_start, \
+        f"m planes {m_planes.shape[0]} != 8 - j_start {m_j_start}"
 
     # int32 overflow guard: n_terms * K * 127 * 127 < 2^31
     if max_k is not None:
@@ -133,9 +146,9 @@ def _exact_matmul_i8(d, m_u64, d_bound: int, dn: str, max_k: int | None):
         partial = None
         for i in range(min(n_d, s + 1)):
             j = s - i
-            if j >= 8:
+            if j >= 8 or j < m_j_start:
                 continue
-            p = jnp.einsum(dn, d_planes[i], m_planes[j],
+            p = jnp.einsum(dn, d_planes[i], m_planes[j - m_j_start],
                            preferred_element_type=jnp.int32)
             partial = p if partial is None else partial + p
         if partial is None:
