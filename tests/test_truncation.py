@@ -7,6 +7,8 @@ at the production parameters, (b) the exact semantics of a truncated
 contraction, and (c) end-to-end decode correctness with truncation active.
 """
 
+import math
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -21,16 +23,29 @@ from tfhe_aes2_tpu.ops.torus import exact_matmul, split_u64_signed
 
 
 def test_production_criteria():
-    """Pin the production truncation levels (documented in truncation.py)."""
+    """Pin the production truncation levels (documented in truncation.py).
+
+    BSK and pfPKSK reach js=2 through the budget arm: the PBS/pfKS
+    gadget-rounding variance (2^71.8 / 2^70.4) dominates their key-noise
+    terms, so truncation up to that floor at most doubles output variance."""
     p = PARAMS_SQRD_LVL_64
-    assert truncation.bsk_j_start(p) == 1
+    assert truncation.bsk_j_start(p) == 2
     assert truncation.ksk_j_start(p) == 6
-    assert truncation.pfpksk_j_start(p) == 1
+    assert truncation.pfpksk_j_start(p) == 2
     assert truncation.vp_ggsw_j_start(p) == 4
-    # the nominal CBS GGSW noise sits far above the BSK noise and far below
-    # the decode threshold
+    # the nominal CBS GGSW noise (truncation terms included) sits far above
+    # the BSK noise and far below the decode threshold
     sigma = truncation.cbs_ggsw_sigma(p)
     assert 2.0 ** 34 < sigma < 2.0 ** 38
+    # the budget arm's whole premise, pinned: rounding dominates key noise
+    assert truncation.pbs_round_variance(p) > \
+        8 * truncation.pbs_amplification(p) * (p.glwe_noise_std * 2.0 ** 64) ** 2
+    # and the VP decode margin survives the doubled variance: VP output std
+    # (GGSW noise amplified by one CMux + VP's own rounding) is ~2^56 against
+    # the 2^62 quarter-gap of a bit at 2^63
+    v_vp = (truncation.vp_amplification(p) * sigma ** 2
+            + truncation.vp_round_variance(p)) * 8  # 8-deep tree
+    assert math.sqrt(v_vp) < 2.0 ** 62 / 32
 
 
 def test_gates_disable(monkeypatch):

@@ -113,9 +113,10 @@ def bsk_j_start(params: WopbsParams) -> int:
     """Lowest BSK limb plane kept by the pallas CMux kernels.
 
     Dropping planes below the BSK noise floor is sound: the truncation error
-    enters the same Σ digit·(·) sums as the BSK noise itself, and the
-    criterion 2^(8·js)/sqrt(12) <= sigma_bsk/32 keeps the added variance
-    < 0.1% (ops/truncation.py). js=1 at production (2/15 of the MXU work);
+    enters the same Σ digit·(·) sums as the BSK noise itself; the two-arm
+    criterion (key-noise floor / gadget-rounding budget) lives in
+    ops/truncation.py. js=2 at production — the PBS rounding term dominates
+    the BSK noise there, so the CMux keeps 11/15 of its int8 dots;
     TFHE_BSK_TRUNC=0 disables."""
     from tfhe_aes2_tpu.ops import truncation
 

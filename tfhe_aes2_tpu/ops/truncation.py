@@ -10,9 +10,22 @@ weight sits far below sigma are indistinguishable from noise: dropping planes
 
 Because that truncation error enters every downstream sum *exactly like the
 coefficient's own noise* (multiplied by the same digits, accumulated over the
-same terms), the safety criterion is purely relative:
+same terms), two independent criteria each justify dropping a plane; js is
+the max of the two arms:
 
-    2^(8·js)/sqrt(12) <= sigma / safety   =>  variance grows by <= 1/safety².
+  sigma arm   2^(8·js)/sqrt(12) <= sigma / safety — the truncation noise
+              hides under the key's own noise (variance +1/safety²).
+  budget arm  A·(2^(8·js)/sqrt(12))² <= frac · V_round — the *operation*
+              that consumes the key adds gadget-decomposition rounding noise
+              V_round regardless of the key; A is the factor mapping
+              per-coefficient key variance into output variance (the same A
+              multiplies sigma² in the standard bounds). When V_round
+              dominates the key term (it does at production: the PBS
+              rounding term is 2^71.8 vs a BSK term of 2^66.7), truncation
+              up to the rounding floor is free-riding on noise the operation
+              already pays. frac = TFHE_TRUNC_BUDGET (default 1.0: output
+              variance at most doubles, std ×<=1.41, against decode margins
+              of ~80 std at production — see PERF.md).
 
 The reference (tfhe-rs f64 FFT) pays a similar *implicit* truncation: its
 53-bit mantissa products round the low bits of every polynomial product; this
@@ -21,17 +34,18 @@ noise-accounted choice rather than a floating-point accident.
 
 Per-key noise floors at the production set (PARAMS_SQRD_LVL_64):
 
-    key      sigma (integer torus units)  js   int8 dots kept
-    BSK      glwe_noise_std·2^64 ≈ 2^12    1   13/15  (blind-rotate CMux)
-    KSK      lwe_noise_std·2^64  ≈ 2^49.6  6    2/8   (big->small keyswitch)
-    pfPKSK   pfks_noise_std·2^64 ≈ 2^12    1   15/18  (pfKS)
-    VP GGSW  nominal CBS output  ≈ 2^36    4    7/15  (vertical packing)
+    key      sigma (torus units)     js  arm     int8 dots kept
+    BSK      sigma_bsk ≈ 2^12         2  budget  11/15  (blind-rotate CMux)
+    KSK      sigma_lwe ≈ 2^49.6       6  sigma    2/8   (big->small KS)
+    pfPKSK   sigma_pfks ≈ 2^12        2  budget  14/18  (pfKS)
+    VP GGSW  nominal CBS out ≈ 2^36   4  both     7/15  (vertical packing)
 
-The VP entry is the interesting one: the GGSW selectors of vertical packing
-are *runtime data* produced by circuit bootstrapping, whose noise (blind
-rotate + pfKS, estimated nominally below) is ~2^24 times the BSK noise — so
-more than half their limb planes are pure noise and the CMux-tree MXU work
-halves. Gates: TFHE_BSK_TRUNC / TFHE_KSK_TRUNC / TFHE_VP_TRUNC (=0 disables).
+The VP entry: the GGSW selectors of vertical packing are *runtime data*
+produced by circuit bootstrapping, whose noise (blind rotate + pfKS,
+estimated nominally below) is ~2^24 times the BSK noise — so more than half
+their limb planes are pure noise and the CMux-tree MXU work halves. Gates:
+TFHE_BSK_TRUNC / TFHE_KSK_TRUNC / TFHE_VP_TRUNC (=0 disables; the gate
+disables both arms).
 """
 
 from __future__ import annotations
@@ -57,16 +71,32 @@ def _gate(env: str) -> bool:
     return os.environ.get(env, "1") != "0"
 
 
+def _budget_frac() -> float:
+    return float(os.environ.get("TFHE_TRUNC_BUDGET", "1.0"))
+
+
+def budget_sigma(v_round: float, amplification: float) -> float:
+    """Largest per-coefficient truncation std whose amplified variance stays
+    within frac·V_round (the budget arm: noise the operation pays anyway)."""
+    frac = _budget_frac()
+    return math.sqrt(frac * v_round / amplification) if frac > 0 else 0.0
+
+
 def bsk_j_start(params: WopbsParams) -> int:
     """BSK planes dropped in the blind-rotate CMux kernels.
 
-    safety=32 (variance +0.1%): the GGSW noise of the *scaling PBS* output is
-    amplified by the vertical-packing digits (base 2^cbs_base_log), so the BSK
-    floor is held tighter than the keyswitch keys'.
+    sigma arm at safety=32 (variance +0.1%): the GGSW noise of the *scaling
+    PBS* output is amplified by the vertical-packing digits (base
+    2^cbs_base_log), so the BSK floor is held tighter than the keyswitch
+    keys'. The budget arm rides the PBS gadget-rounding term, which dominates
+    at production (js 1 -> 2: 11/13 of the CMux dots).
     """
     if not _gate("TFHE_BSK_TRUNC"):
         return 0
-    return j_start_for_sigma(params.glwe_noise_std * _Q, safety=32.0)
+    p = params
+    sigma = max(p.glwe_noise_std * _Q / 32.0,
+                budget_sigma(pbs_round_variance(p), pbs_amplification(p)))
+    return j_start_for_sigma(sigma, safety=1.0)
 
 
 def ksk_j_start(params: WopbsParams) -> int:
@@ -83,10 +113,16 @@ def ksk_j_start(params: WopbsParams) -> int:
 
 
 def pfpksk_j_start(params: WopbsParams) -> int:
-    """pfPKSK planes dropped in the pfKS contraction (GLWE-level noise floor)."""
+    """pfPKSK planes dropped in the pfKS contraction.
+
+    sigma arm on the pfKS key noise plus the budget arm on the pfKS
+    gadget-rounding term (dominant at production: js 1 -> 2)."""
     if not _gate("TFHE_KSK_TRUNC"):
         return 0
-    return j_start_for_sigma(params.pfks_noise_std * _Q, safety=8.0)
+    p = params
+    sigma = max(p.pfks_noise_std * _Q / 8.0,
+                budget_sigma(pfks_round_variance(p), pfks_amplification(p)))
+    return j_start_for_sigma(sigma, safety=1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -97,31 +133,77 @@ def pfpksk_j_start(params: WopbsParams) -> int:
 # ---------------------------------------------------------------------------
 
 
-def pbs_out_variance(params: WopbsParams) -> float:
-    """Nominal variance of a scaling-PBS (blind rotate + extract) output."""
+def pbs_amplification(params: WopbsParams) -> float:
+    """Factor mapping per-coefficient BSK variance into PBS output variance
+    (multiplies sigma_bsk² in the standard external-product bound)."""
     p = params
-    n, big_n, k, l = p.lwe_dimension, p.polynomial_size, p.glwe_dimension, p.pbs_level
+    n, big_n, k, l = (p.lwe_dimension, p.polynomial_size, p.glwe_dimension,
+                      p.pbs_level)
     beta = 2.0 ** p.pbs_base_log
-    sigma_bsk = p.glwe_noise_std * _Q
-    # external-product BSK-noise term, per CMux step x n steps
-    v_bsk = n * l * (k + 1) * big_n * (beta * beta / 12.0) * sigma_bsk ** 2
-    # gadget-decomposition rounding term (digits cover l·base_log bits)
-    eps = _Q / (2.0 * beta ** l)
-    v_round = n * (1.0 + k * big_n / 2.0) * (eps * eps / 3.0)
-    return v_bsk + v_round
+    return n * l * (k + 1) * big_n * (beta * beta / 12.0)
+
+
+def pbs_round_variance(params: WopbsParams) -> float:
+    """PBS gadget-decomposition rounding term (digits cover l·base_log bits)."""
+    p = params
+    eps = _Q / (2.0 * (2.0 ** p.pbs_base_log) ** p.pbs_level)
+    return p.lwe_dimension * (1.0 + p.glwe_dimension * p.polynomial_size / 2.0) \
+        * (eps * eps / 3.0)
+
+
+def _trunc_var(js: int) -> float:
+    """Per-coefficient variance of dropping limb planes 0..js-1."""
+    return (2.0 ** (8 * js)) ** 2 / 12.0 if js else 0.0
+
+
+def pbs_out_variance(params: WopbsParams) -> float:
+    """Nominal variance of a scaling-PBS (blind rotate + extract) output,
+    including the variance added by the active BSK plane truncation."""
+    sigma_bsk = params.glwe_noise_std * _Q
+    return pbs_amplification(params) \
+        * (sigma_bsk ** 2 + _trunc_var(bsk_j_start(params))) \
+        + pbs_round_variance(params)
+
+
+def pfks_amplification(params: WopbsParams) -> float:
+    """Factor mapping per-coefficient pfPKSK variance into pfKS output variance."""
+    p = params
+    kn1 = p.glwe_dimension * p.polynomial_size + 1
+    beta = 2.0 ** p.pfks_base_log
+    return kn1 * p.pfks_level * (beta * beta / 12.0)
+
+
+def pfks_round_variance(params: WopbsParams) -> float:
+    """pfKS gadget-decomposition rounding term."""
+    p = params
+    kn1 = p.glwe_dimension * p.polynomial_size + 1
+    eps = _Q / (2.0 * (2.0 ** p.pfks_base_log) ** p.pfks_level)
+    return (kn1 - 1) * 0.5 * (eps * eps / 3.0)
 
 
 def pfks_add_variance(params: WopbsParams) -> float:
-    """Nominal variance the pfKS adds on top of its input LWE's noise."""
+    """Nominal variance the pfKS adds on top of its input LWE's noise,
+    including the variance added by the active pfPKSK plane truncation."""
+    sigma = params.pfks_noise_std * _Q
+    return pfks_amplification(params) \
+        * (sigma ** 2 + _trunc_var(pfpksk_j_start(params))) \
+        + pfks_round_variance(params)
+
+
+def vp_amplification(params: WopbsParams) -> float:
+    """Factor mapping per-coefficient GGSW variance into one VP CMux output
+    (external product against one selector; per-step, like vp_round)."""
     p = params
-    kn1 = p.glwe_dimension * p.polynomial_size + 1
-    l = p.pfks_level
-    beta = 2.0 ** p.pfks_base_log
-    sigma = p.pfks_noise_std * _Q
-    v_key = kn1 * l * (beta * beta / 12.0) * sigma ** 2
-    eps = _Q / (2.0 * beta ** l)
-    v_round = (kn1 - 1) * 0.5 * (eps * eps / 3.0)
-    return v_key + v_round
+    beta = 2.0 ** p.cbs_base_log
+    return p.cbs_level * (p.glwe_dimension + 1) * p.polynomial_size \
+        * (beta * beta / 12.0)
+
+
+def vp_round_variance(params: WopbsParams) -> float:
+    """Per-CMux gadget rounding in vertical packing (cbs_level digits)."""
+    p = params
+    eps = _Q / (2.0 * (2.0 ** p.cbs_base_log) ** p.cbs_level)
+    return (1.0 + p.glwe_dimension * p.polynomial_size / 2.0) * (eps * eps / 3.0)
 
 
 def cbs_ggsw_sigma(params: WopbsParams) -> float:
@@ -138,4 +220,7 @@ def vp_ggsw_j_start(params: WopbsParams) -> int:
     """
     if not _gate("TFHE_VP_TRUNC"):
         return 0
-    return j_start_for_sigma(cbs_ggsw_sigma(params), safety=8.0)
+    p = params
+    sigma = max(cbs_ggsw_sigma(p) / 8.0,
+                budget_sigma(vp_round_variance(p), vp_amplification(p)))
+    return j_start_for_sigma(sigma, safety=1.0)
