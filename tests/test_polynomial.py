@@ -151,7 +151,7 @@ def test_blind_rotate_fused_glue_matches_xla_glue(keys_test, monkeypatch):
         ref = np.asarray(br.blind_rotate_glwe(
             shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
         monkeypatch.setenv("TFHE_BR_GLUE", "pallas")
-        for kern in ("merged", "grid", "bucket"):
+        for kern in ("merged", "grid", "gridg", "bucket"):
             monkeypatch.setenv("TFHE_BR_KERNEL", kern)
             got = np.asarray(br.blind_rotate_glwe(
                 shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))

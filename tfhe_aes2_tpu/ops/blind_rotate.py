@@ -215,8 +215,14 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
 
             # TFHE_BR_KERNEL selects the step lowering (v5e measurements,
             # B=512 production shapes):
-            #   grid (default, 1.17ms/step): two calls per step
-            #     (rot_diff_digits glue + extprod_step2 dots/recombine)
+            #   gridg (default; full-bench 0.699 vs grid 0.678 blocks/s at
+            #     BSK js=2): grid with the NEXT step's glue fused into the
+            #     dot kernel's finish — one pallas call per step. Lost to
+            #     grid while the step had 13 dots (0.550 vs 0.576 at js=1);
+            #     the budget-arm truncation cut the dots to 11, the glue
+            #     became relatively larger, and the fused form flipped ahead.
+            #   grid: two calls per step (rot_diff_digits glue +
+            #     extprod_step2 dots/recombine)
             #   longk (4.3ms/step): per (o, BSK-plane) ONE [B, R·N] x
             #     [R·N, N] dot per digit limb — fewer bucket-scratch
             #     read-modify-writes than grid on paper, but measured 3.3x
@@ -227,12 +233,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             #   bucket (3.5ms/step): extprod_step3 same-target dot chains —
             #     Mosaic does not fuse them into MXU accumulation, so it
             #     just doubles the negacirculant builds
-            #   gridg (0.550 blocks/s vs grid 0.576 full-bench): grid with
-            #     the NEXT step's glue fused into the dot kernel's finish —
-            #     one pallas call per step, but measured slower in-scan
-            #     (suspect: the revisited dig output block costs more than
-            #     the saved launch + acc re-read)
-            kern_kind = _os.environ.get("TFHE_BR_KERNEL", "grid")
+            kern_kind = _os.environ.get("TFHE_BR_KERNEL", "gridg")
 
             if kern_kind == "gridg":
                 k1l = (k1, p.pbs_level, n_d, batch_flat, n)
