@@ -157,6 +157,16 @@ def test_blind_rotate_fused_glue_matches_xla_glue(keys_test, monkeypatch):
                 shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
             np.testing.assert_array_equal(got, ref,
                                           err_msg=f"kern={kern} trunc={trunc}")
+        # fused-RMW M-stacked dot variant (TFHE_BR_MSTACK2; threaded as a
+        # static jit arg, so toggling the env retraces)
+        monkeypatch.setenv("TFHE_BR_MSTACK2", "1")
+        for kern in ("grid", "gridg"):
+            monkeypatch.setenv("TFHE_BR_KERNEL", kern)
+            got = np.asarray(br.blind_rotate_glwe(
+                shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
+            np.testing.assert_array_equal(
+                got, ref, err_msg=f"kern={kern} trunc={trunc} mstack2")
+        monkeypatch.delenv("TFHE_BR_MSTACK2")
 
 
 def test_pallas_extprod_matches_shared():

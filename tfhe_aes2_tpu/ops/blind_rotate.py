@@ -234,6 +234,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             #     Mosaic does not fuse them into MXU accumulation, so it
             #     just doubles the negacirculant builds
             kern_kind = _os.environ.get("TFHE_BR_KERNEL", "gridg")
+            mstack2 = extprod.use_mstack2()
 
             if kern_kind == "gridg":
                 k1l = (k1, p.pbs_level, n_d, batch_flat, n)
@@ -252,7 +253,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                         dig, ext_or, acc_of,
                         t_nxt.reshape((batch_flat,)),
                         base_log=p.pbs_base_log, levels=p.pbs_level,
-                        j_start=j_start)
+                        j_start=j_start, mstack2=mstack2)
                     return (acc_of, dig), None
 
                 (acc_of, _), _ = jax.lax.scan(
@@ -292,6 +293,9 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                 dig = extprod.rot_diff_digits(
                     acc_of, a_i.reshape((batch_flat,)),
                     p.pbs_base_log, p.pbs_level, n_d)
+                if step_kernel is extprod.extprod_step2:
+                    return step_kernel(dig, ext_or, acc_of, j_start=j_start,
+                                       mstack2=mstack2), None
                 return step_kernel(
                     dig, ext_or, acc_of, j_start=j_start), None
 
@@ -318,7 +322,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                 digit_planes = torus.split_int32_signed(digits, n_d)
                 new_pair = extprod.extprod_step(
                     digit_planes, planes_i, acc_pair[0], acc_pair[1],
-                    j_start=j_start)
+                    j_start=j_start, mstack2=extprod.use_mstack2())
                 return new_pair, None
             partials = polynomial.conv_partials(digits, planes_i, bound)
             out_pair = up.accumulate_partials(partials)

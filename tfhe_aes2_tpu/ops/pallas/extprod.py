@@ -125,6 +125,7 @@ def _add_carry(lo, hi, c_lo, c_hi):
 
 
 def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int, rg: int,
+                       mstack2: bool,
                        dig_ref, ext_ref, acc_ref, out_ref, part_ref):
     """Grid (BT, O, R) body with u64 recombination + CMux accumulate fused in.
 
@@ -151,11 +152,14 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int, rg: int,
     def _init():
         part_ref[...] = jnp.zeros_like(part_ref)
 
+    bt = part_ref.shape[1]
     for rr in range(rg):
         _packed_dots(n_d, n, j_start,
                      lambda i, rr=rr: dig_ref[rr, i],
                      lambda jo, rr=rr: ext_ref[0, rr, jo: jo + 1, :],
-                     part_ref)
+                     part_ref,
+                     dig_all=lambda rr=rr: dig_ref[rr].reshape(n_d * bt, n),
+                     mstack2=mstack2)
 
     @pl.when(r == r_cnt // rg - 1)
     def _fini():
@@ -164,18 +168,41 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int, rg: int,
         out_ref[0, 1] = hi
 
 
-def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref):
+def use_mstack2() -> bool:
+    """Fused-RMW M-stacked dots (TFHE_BR_MSTACK2=1): per BSK plane j one
+    [n_d·B, N] x [N, N] dot whose i-major result rows land on the ADJACENT
+    buckets s = j..j+n_d-1, updated with ONE sliced read-modify-write
+    part[j:j+n_d] += c. probe10's "mstack" (separate per-slice RMWs of the
+    stacked result) measured slower than per-plane dots; this variant
+    removes the result slicing entirely. Read OUTSIDE the jitted kernels and
+    threaded through as a static arg so toggling it retraces."""
+    import os
+    return os.environ.get("TFHE_BR_MSTACK2", "0") == "1"
+
+
+def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref,
+                 dig_all=None, mstack2: bool = False):
     """The CMux dot core: negacirculants for 4 limb planes per rotation
     ladder — the planes of one (o, r) BSK polynomial share the rotation
     structure, so packing 4 int8 planes into int32 lanes runs one ladder
     where the naive form runs four (VPU lane width is 32 bits; measured
     -11%/step at production shapes, probes/bench_probe9.py "packed"). Extracted
     plane VALUES feed the dots directly — unpacking into an int8 scratch
-    costs more than it saves."""
+    costs more than it saves.
+
+    dig_all (optional): () -> the [n_d·B, N] i-major merged digit view,
+    enabling the fused-RMW stacked dots when mstack2 is set (use_mstack2)."""
+    mstack2 = dig_all is not None and n_d > 1 and mstack2
+    bt = part_ref.shape[1]
     for j, ncm in _packed_nc_planes(
             n, [j for j in range(j_start, 8)
                 if any(i + j < 8 for i in range(n_d))],
             lambda j: ext_at(j - j_start)):
+        if mstack2 and j + n_d - 1 < 8:
+            c = jnp.dot(dig_all(), ncm, preferred_element_type=jnp.int32)
+            part_ref[j: j + n_d] = (part_ref[j: j + n_d]
+                                    + c.reshape(n_d, bt, n))
+            continue
         for i in range(n_d):
             s = i + j
             if s >= 8:
@@ -220,10 +247,10 @@ def _recombine(j_start: int, lo, hi, part_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "j_start",
-                                              "max_tile"))
+                                              "max_tile", "mstack2"))
 def extprod_step(digit_planes, ext_planes, acc_lo, acc_hi,
                  interpret: bool | None = None, j_start: int = 0,
-                 max_tile: int = 256):
+                 max_tile: int = 256, mstack2: bool = False):
     """One fused CMux update: acc + Σ_r digits_r ⊛ bsk_row_r, on u32 pairs.
 
     digit_planes int8 [n_d, B, R, N]; ext_planes int8 [8-j_start, R, O, 2N]
@@ -252,7 +279,8 @@ def extprod_step(digit_planes, ext_planes, acc_lo, acc_hi,
     ext_or = jnp.transpose(ext_planes, (2, 1, 0, 3))           # [O, R, 8, 2N]
     acc = jnp.stack([jnp.moveaxis(acc_lo, -2, 0),
                      jnp.moveaxis(acc_hi, -2, 0)], axis=1)     # [O, 2, B, N]
-    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, 1)
+    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, 1,
+                             mstack2)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -350,10 +378,10 @@ def _default_tile() -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "j_start",
-                                              "max_tile"))
+                                              "max_tile", "mstack2"))
 def extprod_step2(dig_r_first, ext_or, acc,
                   interpret: bool | None = None, j_start: int = 0,
-                  max_tile: int | None = None):
+                  max_tile: int | None = None, mstack2: bool = False):
     """extprod_step on pre-transposed layouts: the whole-scan carry stays in
     the kernel-native [O, 2, B, N] accumulator layout, so a CMux step is
     exactly two pallas calls (rot_diff_digits + this) with no XLA glue.
@@ -386,7 +414,8 @@ def extprod_step2(dig_r_first, ext_or, acc,
     rg = int(_os.environ.get("TFHE_BR_RG", "1"))
     if rg < 1 or r % rg != 0:
         rg = 1
-    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, rg)
+    kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, rg,
+                             mstack2)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -409,7 +438,7 @@ def extprod_step2(dig_r_first, ext_or, acc,
 
 
 def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
-                         base_log: int, levels: int,
+                         base_log: int, levels: int, mstack2: bool,
                          t_ref, dig_ref, ext_ref, acc_ref,
                          out_ref, dig_out_ref, part_ref):
     """_kernel_grid_fused with next-step glue fused into the finish: at
@@ -429,7 +458,10 @@ def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
         part_ref[...] = jnp.zeros_like(part_ref)
 
     _packed_dots(n_d, n, j_start, lambda i: dig_ref[0, 0, i],
-                 lambda jo: ext_ref[0, 0, jo: jo + 1, :], part_ref)
+                 lambda jo: ext_ref[0, 0, jo: jo + 1, :], part_ref,
+                 dig_all=lambda: dig_ref[0, 0].reshape(
+                     n_d * part_ref.shape[1], n),
+                 mstack2=mstack2)
 
     @pl.when(r == r_cnt - 1)
     def _fini():
@@ -444,10 +476,10 @@ def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "base_log", "levels", "interpret", "j_start", "max_tile"))
+    "base_log", "levels", "interpret", "j_start", "max_tile", "mstack2"))
 def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
                    interpret: bool | None = None, j_start: int = 0,
-                   max_tile: int | None = None):
+                   max_tile: int | None = None, mstack2: bool = False):
     """One CMux step in ONE pallas call: extprod_step2 dots/recombine plus
     the NEXT step's rotation/diff/decompose glue fused into the finish.
 
@@ -476,7 +508,7 @@ def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
 
     t2 = t_next.reshape(b, 1).astype(jnp.int32)
     kern = functools.partial(_kernel_grid_fused_g, n_d, n, r, j_start,
-                             base_log, levels)
+                             base_log, levels, mstack2)
     with jax.enable_x64(False):
         new_acc, new_dig = pl.pallas_call(
             kern,
