@@ -267,7 +267,7 @@ def main() -> int:
 
     def prod_step(acc):
         kern = functools.partial(extprod._kernel_grid_fused, n_d, N, R,
-                                 j_start, 1)
+                                 j_start, 1, False)
         with jax.enable_x64(False):
             return pl.pallas_call(
                 kern,
