@@ -5,10 +5,12 @@ configuration, main.rs:83) end-to-end: FHE key expansion + batched CTR block
 encryption, decrypt-verified against the independent AES authority, then
 prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no numbers (BASELINE.md). The 1x mark used
-here is 1/240 blocks/s (4 min/block) — the order of magnitude reported for
-tfhe-rs WoP-PBS AES-128 implementations of this bounty generation on a
-multi-core CPU; see BASELINE.md for provenance and caveats.
+Baseline: the reference publishes no numbers, and the Rust toolchain needed
+to measure it does not exist in this image — the 1x mark is a LITERATURE
+ESTIMATE of 1/240 blocks/s (4 min/block), the order of magnitude reported
+for tfhe-rs WoP-PBS AES-128 implementations of this bounty generation on a
+multi-core CPU. BASELINE.md ("Provenance of the 1× mark") documents the
+sources and the uncertainty; the JSON labels it via the "baseline" field.
 
 Env knobs: BENCH_BLOCKS (default 8 = one 1024-lane batch tile, the measured throughput sweet spot: 4->0.589, 8->0.600, 16->0.565 blocks/s), BENCH_PARAMS (lvl64|test), BENCH_ROUNDS.
 """
@@ -77,21 +79,27 @@ def main() -> int:
     t_first = time.time() - t0
     print(f"[bench] blocks first run (incl compile) {t_first:.1f}s", file=sys.stderr)
 
-    # steady-state timing: best of 3 (observed ±8% run-to-run variance on
-    # the tunneled device; the best run is the sustained-throughput figure)
-    t_steady = None
-    for rep in range(3):
+    # steady-state timing: 5 reps with stall rejection — the tunneled device
+    # shows ±8% run-to-run variance plus rare multi-x stalls (one recorded
+    # 237s outlier, commit a9387e4). Reps >1.5x the median are dropped as
+    # stalls; the figure is the mean of the survivors (BENCH_REPS overrides).
+    reps = []
+    for rep in range(int(os.environ.get("BENCH_REPS", "5"))):
         t0 = time.time()
         out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_dev,
                                             rounds)
         np.asarray(out.array)  # materialize on host
         dt = time.time() - t0
         print(f"[bench] steady rep{rep} {dt:.2f}s", file=sys.stderr)
-        t_steady = dt if t_steady is None else min(t_steady, dt)
+        reps.append(dt)
     out = out.array
+    med = sorted(reps)[len(reps) // 2]
+    kept = [r for r in reps if r <= 1.5 * med]
+    t_steady = sum(kept) / len(kept)
     blocks_per_s = n_blocks / t_steady
-    print(f"[bench] steady best {t_steady:.2f}s -> {blocks_per_s:.4f} blocks/s",
-          file=sys.stderr)
+    print(f"[bench] steady mean {t_steady:.2f}s over {len(kept)}/{len(reps)} "
+          f"reps (median {med:.2f}, spread {min(reps):.2f}-{max(reps):.2f}) "
+          f"-> {blocks_per_s:.4f} blocks/s", file=sys.stderr)
 
     # verify correctness (10-round only)
     if rounds == 10:
@@ -105,11 +113,19 @@ def main() -> int:
                               "vs_baseline": 0.0, "error": "verify_failed"}))
             return 1
 
+    # secondary metric (BASELINE.md targets table): 8-bit circuit bootstraps
+    # per second — 16 SBOX bootstraps per block per round (the final round's
+    # sub_bytes included; rounds 1..9 use the 8->24 gal-mul variant).
+    cbs_per_s = n_blocks * 16 * rounds / t_steady
     print(json.dumps({
         "metric": "fhe_aes128_ctr_blocks_per_s",
         "value": round(blocks_per_s, 5),
         "unit": "blocks/s",
         "vs_baseline": round(blocks_per_s / BASELINE_BLOCKS_PER_S, 3),
+        "baseline": "literature-estimate-1/240-blocks-per-s",
+        "secondary": {"circuit_bootstraps_per_s": round(cbs_per_s, 2)},
+        "reps_s": [round(r, 3) for r in reps],
+        "reps_kept": len(kept),
     }))
     return 0
 

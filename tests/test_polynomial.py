@@ -166,6 +166,12 @@ def test_blind_rotate_fused_glue_matches_xla_glue(keys_test, monkeypatch):
                 shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
             np.testing.assert_array_equal(
                 got, ref, err_msg=f"kern={kern} trunc={trunc} mstack2")
+        # the XLA-glue entry point (extprod_step) threads mstack2 too
+        monkeypatch.setenv("TFHE_BR_GLUE", "xla")
+        got = np.asarray(br.blind_rotate_glwe(
+            shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
+        np.testing.assert_array_equal(
+            got, ref, err_msg=f"xla-glue trunc={trunc} mstack2")
         monkeypatch.delenv("TFHE_BR_MSTACK2")
 
 

@@ -40,6 +40,20 @@ import jax  # noqa: E402
 # 64-bit torus arithmetic requires x64 mode. Must happen before any tracing.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the production AES program costs ~9 minutes
+# of XLA/Mosaic compilation on a fresh process (BENCH_r01.json tail); with
+# the cache warm the same programs deserialize in seconds. Default location
+# is next to the package so bench.py / cli.py / tests all share it;
+# TFHE_JAX_CACHE overrides (set to "0" to disable, e.g. for compile-time
+# measurements).
+_CACHE = os.environ.get(
+    "TFHE_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+if _CACHE != "0":
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 # numpy madvises MADV_HUGEPAGE on every allocation >=4MB, and THP first-touch
 # faults on this host cost ~500us/page vs ~2us for plain 4KB pages — measured
 # 10.9s vs 0.03s to fault in one fresh 80MB buffer (320x). Keygen alone

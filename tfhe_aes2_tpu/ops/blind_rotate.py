@@ -189,6 +189,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             batch_flat *= s
 
         import os as _os
+        mstack2 = extprod.use_mstack2() if mode == "pallas" else False
         if mode == "pallas":
             if prepared:
                 ext_or_all = jnp.asarray(bsk)  # [n, k1, R, 8-j_start, 2N]
@@ -234,7 +235,6 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             #     Mosaic does not fuse them into MXU accumulation, so it
             #     just doubles the negacirculant builds
             kern_kind = _os.environ.get("TFHE_BR_KERNEL", "gridg")
-            mstack2 = extprod.use_mstack2()
 
             if kern_kind == "gridg":
                 k1l = (k1, p.pbs_level, n_d, batch_flat, n)
@@ -322,7 +322,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                 digit_planes = torus.split_int32_signed(digits, n_d)
                 new_pair = extprod.extprod_step(
                     digit_planes, planes_i, acc_pair[0], acc_pair[1],
-                    j_start=j_start, mstack2=extprod.use_mstack2())
+                    j_start=j_start, mstack2=mstack2)
                 return new_pair, None
             partials = polynomial.conv_partials(digits, planes_i, bound)
             out_pair = up.accumulate_partials(partials)
