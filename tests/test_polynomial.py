@@ -360,3 +360,77 @@ def test_extprod_step2g_matches_step2_plus_glue():
         np.testing.assert_array_equal(
             np.asarray(dig1_g).reshape(r, n_d, batch, n), np.asarray(dig1),
             err_msg=f"dig js={js}")
+
+
+def test_cmux_step_production_geometry(monkeypatch):
+    """Blind-rotate CMux kernels at the PRODUCTION polynomial geometry
+    (PARAMS_SQRD_LVL_64: N=512, k=4, R=15, pbs base 12 / level 3, BSK js=2),
+    previously exercised only by the TPU bench: a 3-step scan over a
+    synthetic BSK, pallas interpret kernels vs the matmul lowering, plus
+    kernel-vs-kernel bit-exactness under the production truncation."""
+    import dataclasses
+    from tfhe_aes2_tpu.ops import blind_rotate as br
+    from tfhe_aes2_tpu.ops.params import PARAMS_SQRD_LVL_64
+
+    p = dataclasses.replace(PARAMS_SQRD_LVL_64, lwe_dimension=3)
+    rng = np.random.default_rng(42)
+    n_lwe, l, k1, n = 3, p.pbs_level, p.glwe_dimension + 1, p.polynomial_size
+    bsk = jnp.asarray(rng.integers(0, 1 << 64, (n_lwe, l, k1, k1, n),
+                                   dtype=np.uint64))
+    lwe = jnp.asarray(rng.integers(0, 1 << 64, (4, n_lwe + 1),
+                                   dtype=np.uint64))
+    acc = jnp.asarray(rng.integers(0, 1 << 64, (k1, n), dtype=np.uint64))
+
+    monkeypatch.setenv("TFHE_BSK_TRUNC", "0")
+    ref = np.asarray(br.blind_rotate_glwe(lwe, bsk, acc, p, use_conv=False))
+    got = np.asarray(br.blind_rotate_glwe(lwe, bsk, acc, p,
+                                          use_conv="pallas"))
+    np.testing.assert_array_equal(got, ref)
+
+    # production BSK truncation (js=2): all kernels/glue modes bit-identical
+    monkeypatch.setenv("TFHE_BSK_TRUNC", "1")
+    assert br.bsk_j_start(p) == 2
+    monkeypatch.setenv("TFHE_BR_GLUE", "xla")
+    ref_t = np.asarray(br.blind_rotate_glwe(lwe, bsk, acc, p,
+                                            use_conv="pallas"))
+    monkeypatch.setenv("TFHE_BR_GLUE", "pallas")
+    for kern in ("grid", "gridg"):
+        monkeypatch.setenv("TFHE_BR_KERNEL", kern)
+        got = np.asarray(br.blind_rotate_glwe(lwe, bsk, acc, p,
+                                              use_conv="pallas"))
+        np.testing.assert_array_equal(got, ref_t, err_msg=kern)
+
+
+def test_pfks_production_geometry():
+    """pfKS at the production GLWE geometry (N=512, k=4, pfks level 2 /
+    base 16) with a synthetic key: the prepared int8-plane path (as built by
+    keys.prepare_server_keys) vs the u64 path, and the production js=2
+    truncation vs an explicitly plane-dropped u64 key."""
+    from tfhe_aes2_tpu.ops import keyswitch as ksw, truncation
+    from tfhe_aes2_tpu.ops.params import PARAMS_SQRD_LVL_64
+    from tfhe_aes2_tpu.ops.torus import split_u64_signed
+
+    p = PARAMS_SQRD_LVL_64
+    rng = np.random.default_rng(43)
+    k1, n = p.glwe_dimension + 1, p.polynomial_size
+    kn1 = 33  # fabricated small input dim (production kN+1=2049 only scales
+    # the contraction K axis; the GLWE-side shapes are production)
+    key = rng.integers(0, 1 << 64, (kn1, p.pfks_level, k1, k1, n),
+                       dtype=np.uint64)
+    lwe = rng.integers(0, 1 << 64, (4, kn1), dtype=np.uint64)
+
+    ref = np.asarray(ksw.pfks_all(jnp.asarray(lwe), jnp.asarray(key), p))
+    planes = split_u64_signed(jnp.asarray(key))           # [8, ...]
+    got = np.asarray(ksw.pfks_all(jnp.asarray(lwe), planes, p))
+    np.testing.assert_array_equal(got, ref)
+
+    js = truncation.pfpksk_j_start(p)
+    assert js == 2
+    got_t = np.asarray(ksw.pfks_all(jnp.asarray(lwe), planes[js:], p))
+    # reconstruct the truncated key in u64 (drop the balanced low planes)
+    pl = np.asarray(planes).astype(np.int64)
+    key_t = np.zeros_like(key)
+    for i in range(js, 8):
+        key_t += (pl[i].astype(np.uint64)) << np.uint64(8 * i)
+    ref_t = np.asarray(ksw.pfks_all(jnp.asarray(lwe), jnp.asarray(key_t), p))
+    np.testing.assert_array_equal(got_t, ref_t)

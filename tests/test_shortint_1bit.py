@@ -78,6 +78,53 @@ def test_tree_pbs_small(keys_s1, bits, word):
     assert int(_decrypt_bits(client, m1b.Bit1Ct(out.array[None], ctx))[0]) == f(word)
 
 
+def test_byteops_sub_bytes_and_boot(keys_s1):
+    """The AES binding's byte ops (fhe_impls/shortint_1bit.rs:30-47): SBOX on
+    one encrypted byte = 8 batched per-output-bit trees; boot = identity."""
+    from tfhe_aes2_tpu.models.shortint_1bit import (Shortint1BitByteOps,
+                                                    fresh_lane_bit1ct)
+    from tfhe_aes2_tpu.aes_128 import SBOX
+    client, ctx = keys_s1
+    ops = Shortint1BitByteOps(ctx)
+    byte = 0xC5
+    bits = [(byte >> (7 - i)) & 1 for i in range(8)]
+    enc = np.asarray(bits, np.uint64) << np.uint64(62)
+    state = fresh_lane_bit1ct(
+        jnp.asarray(client.encrypt_encodings_small(enc))[None], ctx,
+        lane_ndim=2)                                    # lanes [1, 8]
+    out = ops.sub_bytes(state)
+    got = _decrypt_bits(client, m1b.Bit1Ct(out.array, ctx))[0]
+    expect = [(int(SBOX[byte]) >> (7 - i)) & 1 for i in range(8)]
+    np.testing.assert_array_equal(got, expect)
+    booted = ops.boot(state)
+    np.testing.assert_array_equal(
+        _decrypt_bits(client, m1b.Bit1Ct(booted.array, ctx))[0], bits)
+
+
+@pytest.mark.skip(reason="mirrors the reference's #[ignore] "
+                  "(fhe_impls/shortint_1bit.rs:81-83): the shortint_1bit AES "
+                  "binding accumulates too much noise for full blocks; the "
+                  "model ships for API/CLI parity")
+def test_shortint_1bit_aes_light(keys_s1):
+    """2-round AES with clear key schedule on the shortint_1bit binding."""
+    from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod, plain
+    client, ctx = keys_s1
+    strategy = fhe_mod.Shortint1BitSboxPbsAesEncrypt
+    key = bytes(range(16))
+    blocks = [bytes(range(16, 32))]
+    ks = plain.key_schedule(key)
+    ks_ct = client.encrypt_encodings_small(
+        strategy._encode(np.unpackbits(
+            np.frombuffer(b"".join(ks), np.uint8).reshape(44, 4)[..., None],
+            axis=-1)))
+    eks = strategy.fresh(jnp.asarray(ks_ct), ctx, lane_ndim=3)
+    blk_ct = strategy.encrypt_client(client, blocks)
+    out = fhe_mod.encrypt_blocks_eager(strategy, ctx, eks,
+                                       jnp.asarray(blk_ct), 2)
+    got = strategy.decrypt_client(client, np.asarray(out.array))
+    assert got == plain.expand_key_and_encrypt_blocks(key, blocks, 2)
+
+
 def test_tree_pbs_8bit_sbox_bit(keys_s1):
     """One SBOX output bit via an 8-bit tree (255 bootstraps), the per-bit
     unit of the reference's shortint_1bit AES binding

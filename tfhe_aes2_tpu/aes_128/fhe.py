@@ -106,6 +106,60 @@ class ShortintWoppbs8BitSboxPbsAesEncrypt:
         return fresh_linear_bitct(arrays, ctx)
 
 
+class Shortint1BitSboxPbsAesEncrypt:
+    """Model shortint_1bit + pipeline fhe_sbox_pbs: SBOX as 8 per-output-bit
+    tree bootstraps (255 blind rotations each, batched across bytes/bits).
+
+    Ships for API/CLI parity with the reference, which dispatches
+    `Shortint1BitSboxPbsAesEncrypt` from the binary
+    (fhe_impls/shortint_1bit.rs:52, main.rs:60-92) while #[ignore]-ing its AES
+    tests ("too big noise accumulation", fhe_impls/shortint_1bit.rs:81-83);
+    the equivalent test here is skipped with the same reason."""
+
+    pipeline = sbox_pbs
+
+    @staticmethod
+    def make_context(params, sks):
+        from tfhe_aes2_tpu.models import shortint_1bit as m1b
+        return m1b.FheContext(params, sks)
+
+    # client-side codecs: bits at 2^62 under the SMALL key
+    # (shortint_1bit.rs:352-356)
+    @staticmethod
+    def _encode(bits):
+        return np.asarray(bits, np.uint64) << np.uint64(62)
+
+    @classmethod
+    def encrypt_client(cls, client, data_bytes_list):
+        arr = np.stack([np.frombuffer(bytes(b), np.uint8)
+                        for b in data_bytes_list])
+        bits = np.unpackbits(arr[..., None], axis=-1)
+        return client.encrypt_encodings_small(cls._encode(bits))
+
+    @classmethod
+    def encrypt_key_client(cls, client, key):
+        bits = np.unpackbits(np.frombuffer(bytes(key), np.uint8)[..., None],
+                             axis=-1)
+        return client.encrypt_encodings_small(cls._encode(bits))
+
+    @staticmethod
+    def decrypt_client(client, arrays):
+        phase = client.decrypt_phase_small(np.asarray(arrays))
+        bits = (((phase + np.uint64(1 << 61)) >> np.uint64(62))
+                & np.uint64(1)).astype(np.uint8)
+        return [row.tobytes() for row in np.packbits(bits, axis=-1)[..., 0]]
+
+    @staticmethod
+    def make_ops(ctx):
+        from tfhe_aes2_tpu.models.shortint_1bit import Shortint1BitByteOps
+        return Shortint1BitByteOps(ctx)
+
+    @staticmethod
+    def fresh(arrays, ctx, lane_ndim=None):
+        from tfhe_aes2_tpu.models.shortint_1bit import fresh_lane_bit1ct
+        return fresh_lane_bit1ct(arrays, ctx, lane_ndim)
+
+
 def _pipeline_kwargs(strategy, ctx):
     ops = strategy.make_ops(ctx)
     return {} if ops is None else {"ops": ops}

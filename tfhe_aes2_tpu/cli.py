@@ -64,9 +64,17 @@ def main(argv=None) -> int:
         client, ctx = model.generate_keys(seed=args.seed)
         strategy = fhe_mod.ShortintWoppbs8BitSboxPbsAesEncrypt
     else:
-        ap.error("shortint-1bit is exposed for primitives only: its AES "
-                 "binding accumulates too much noise (the reference ignores "
-                 "those tests for the same reason, fhe_impls/shortint_1bit.rs:81-83)")
+        # Dispatched like the reference binary (main.rs:60-92). NOTE: the
+        # reference flags this model's parameters `!Testing parameters!`
+        # (shortint_1bit.rs:62) and #[ignore]s its AES tests for noise
+        # accumulation — expect the final verification to fail at 10 rounds.
+        from tfhe_aes2_tpu.models import shortint_1bit as model
+        pset = (model.PARAMS_TEST_S1 if args.params.startswith("test")
+                else model.PARAMS_SHORTINT_1BIT)
+        pname = "test-s1" if args.params.startswith("test") else "shortint-1bit"
+        print(f"generating keys ({pname})...")
+        client, ctx = model.generate_keys(pset, seed=args.seed)
+        strategy = fhe_mod.Shortint1BitSboxPbsAesEncrypt
 
     run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs,
                                    strategy=strategy, rounds=args.rounds)

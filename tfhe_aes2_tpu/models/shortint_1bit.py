@@ -85,6 +85,12 @@ class FheContext:
         body = (bits.astype(np.uint64) << np.uint64(62))[..., None]
         return Bit1Ct(jnp.asarray(np.concatenate([mask, body], axis=-1)), self)
 
+    def trivial_bits(self, bits) -> "LaneBit1Ct":
+        """Lane-tensor trivial ciphertexts (the AES data-model entry point,
+        ContextT::trivial equivalent for this model)."""
+        bits = np.asarray(bits)
+        return LaneBit1Ct(self.trivial(bits).array, bits.shape, self)
+
     # -- test vectors --
 
     def test_vector_from_cleartext_fn(self, f) -> jnp.ndarray:
@@ -155,6 +161,113 @@ class Bit1Ct:
         return Bit1Ct(self.array + rhs.array, self.context)
 
 
+@dataclass
+class LaneBit1Ct:
+    """Lane-tensor of shortint_1bit ciphertexts — the AES data-model bit type
+    for this model (array [..., *lane_shape, n+1], bit at 2^62 under the
+    small key). XOR is the unchecked add whose carry overflows into the
+    padding bit (shortint_1bit.rs:103-115); the model tracks no noise
+    metadata, matching the reference (whose AES tests are #[ignore]d for
+    exactly that uncontrolled accumulation, fhe_impls/shortint_1bit.rs:81-83).
+    """
+
+    array: jnp.ndarray
+    lane_shape: tuple
+    context: FheContext
+
+    def __xor__(self, rhs: "LaneBit1Ct") -> "LaneBit1Ct":
+        return LaneBit1Ct(jnp.asarray(self.array, U64)
+                          + jnp.asarray(rhs.array, U64),
+                          self.lane_shape, self.context)
+
+    def _arr_axis(self, axis: int):
+        n_lane = len(self.lane_shape)
+        axis = axis % n_lane
+        return self.array.ndim - 1 - n_lane + axis, axis
+
+    def take_lanes(self, idx, axis: int) -> "LaneBit1Ct":
+        arr_axis, axis = self._arr_axis(axis)
+        idx = np.asarray(idx)
+        shape = self.lane_shape[:axis] + idx.shape + self.lane_shape[axis + 1:]
+        return LaneBit1Ct(jnp.take(self.array, jnp.asarray(idx), axis=arr_axis),
+                          shape, self.context)
+
+    def slice_lanes(self, sl, axis: int = 0) -> "LaneBit1Ct":
+        arr_axis, axis = self._arr_axis(axis)
+        indexer = [slice(None)] * self.array.ndim
+        indexer[arr_axis] = sl
+        arr = self.array[tuple(indexer)]
+        n_lane = len(self.lane_shape)
+        return LaneBit1Ct(arr, tuple(arr.shape[arr.ndim - 1 - n_lane: -1]),
+                          self.context)
+
+    def reshape_lanes(self, *lane_shape) -> "LaneBit1Ct":
+        batch = self.array.shape[: self.array.ndim - 1 - len(self.lane_shape)]
+        arr = self.array.reshape(batch + tuple(lane_shape)
+                                 + self.array.shape[-1:])
+        return LaneBit1Ct(arr, tuple(lane_shape), self.context)
+
+    @classmethod
+    def concat_lanes(cls, parts, axis: int = 0) -> "LaneBit1Ct":
+        n_lane = len(parts[0].lane_shape)
+        axis = axis % n_lane
+        max_ndim = max(p.array.ndim for p in parts)
+        arrays = []
+        for p in parts:
+            a = p.array
+            if a.ndim < max_ndim:
+                batch = next(q.array.shape[: max_ndim - a.ndim]
+                             for q in parts if q.array.ndim == max_ndim)
+                a = jnp.broadcast_to(a, batch + a.shape)
+            arrays.append(a)
+        arr_axis = max_ndim - 1 - n_lane + axis
+        shape = list(parts[0].lane_shape)
+        shape[axis] = sum(p.lane_shape[axis] for p in parts)
+        return cls(jnp.concatenate(arrays, axis=arr_axis), tuple(shape),
+                   parts[0].context)
+
+
+def fresh_lane_bit1ct(arrays, context: FheContext,
+                      lane_ndim: int | None = None) -> LaneBit1Ct:
+    arrays = jnp.asarray(arrays, U64)
+    if lane_ndim is None:
+        lane_ndim = arrays.ndim - 1
+    shape = tuple(arrays.shape[arrays.ndim - 1 - lane_ndim: -1])
+    return LaneBit1Ct(arrays, shape, context)
+
+
+class Shortint1BitByteOps:
+    """Byte ops for AES pipeline A on this model: SBOX as 8 per-output-bit
+    multivariate tree bootstraps, identity-bootstrap noise reset
+    (fhe_impls/shortint_1bit.rs:30-47). All 16 bytes × 8 output bits × tree
+    test vectors advance through each blind rotation as one batch."""
+
+    def __init__(self, ctx: FheContext):
+        self.ctx = ctx
+
+    def _sbox_tvs(self):
+        cache = self.ctx._kernel_cache
+        if "sbox_tvs" not in cache:
+            from tfhe_aes2_tpu.aes_128 import SBOX
+            tvs = [generate_multivariate_test_vector(
+                self.ctx, 8, lambda v, o=o: (int(SBOX[v]) >> (7 - o)) & 1)
+                for o in range(8)]
+            cache["sbox_tvs"] = jnp.stack(tvs, axis=0)   # [8, 128, k+1, N]
+        return cache["sbox_tvs"]
+
+    def sub_bytes(self, state: LaneBit1Ct) -> LaneBit1Ct:
+        arr = jnp.asarray(state.array, U64)             # [..., 8(bit), n+1]
+        bit_arr = jnp.broadcast_to(
+            arr[..., None, :, :], arr.shape[:-2] + (8, 8, arr.shape[-1]))
+        out = _tree_pbs_batched(self.ctx, bit_arr, self._sbox_tvs())
+        return type(state)(out, state.lane_shape, self.ctx)
+
+    def boot(self, word: LaneBit1Ct) -> LaneBit1Ct:
+        tv = self.ctx.test_vector_from_cleartext_fn(lambda b: b)
+        out = self.ctx.bootstrap(Bit1Ct(word.array, self.ctx), tv)
+        return type(word)(out.array, word.lane_shape, self.ctx)
+
+
 def generate_multivariate_test_vector(ctx: FheContext, bits: int, f):
     """Leaf test vectors, one per even input value, selecting on the LSB
     (shortint_1bit.rs:520-536). Returns [2^(bits-1), k+1, N] u64 (clear)."""
@@ -164,6 +277,31 @@ def generate_multivariate_test_vector(ctx: FheContext, bits: int, f):
     return jnp.stack(tvs, axis=0)
 
 
+def _tree_pbs_batched(ctx: FheContext, bit_arr, test_vectors) -> jnp.ndarray:
+    """Batched tree-based multivariate bootstrap core.
+
+    bit_arr: u64 [..., T, n+1], MSB first (the LSB selects at the leaves).
+    test_vectors: [..., 2^(T-1), k+1, N], broadcastable against the [...]
+    batch (per-batch-lane leaf tables, e.g. one per SBOX output bit).
+    Returns u64 [..., n+1]. Every tree level bootstraps ALL remaining test
+    vectors of ALL batch lanes through one blind rotation.
+    """
+    t = bit_arr.shape[-2]
+    batch = bit_arr.shape[:-2]
+    tvs = jnp.asarray(test_vectors, U64)
+    tvs = jnp.broadcast_to(tvs, batch + tvs.shape[-3:])
+    for level in range(t - 1, 0, -1):
+        n_tv = tvs.shape[-3]
+        sel = jnp.broadcast_to(bit_arr[..., level, None, :],
+                               batch + (n_tv, bit_arr.shape[-1]))
+        outs = ctx.bootstrap(Bit1Ct(sel, ctx), tvs)     # [..., n_tv, n+1]
+        tvs = _tv_from_ct_arrays(outs.array[..., 0::2, :],
+                                 outs.array[..., 1::2, :],
+                                 ctx.sks.pksk, ctx.params)
+    return ctx.bootstrap(Bit1Ct(bit_arr[..., 0, :], ctx),
+                         tvs[..., 0, :, :]).array
+
+
 def calculate_multivariate_function(ctx: FheContext, bit_cts: "Bit1Ct",
                                     test_vectors) -> "Bit1Ct":
     """Tree-based multivariate bootstrap (shortint_1bit.rs:539-576).
@@ -171,17 +309,7 @@ def calculate_multivariate_function(ctx: FheContext, bit_cts: "Bit1Ct",
     bit_cts: Bit1Ct [T, n+1], MSB first (the LSB selects at the leaves).
     test_vectors: [2^(T-1), k+1, N].
     """
-    t = bit_cts.array.shape[0]
-    tvs = jnp.asarray(test_vectors, U64)
-    for level in range(t - 1, 0, -1):
-        selector = Bit1Ct(bit_cts.array[level], ctx)
-        # bootstrap every remaining tv by this selector (batched over tvs)
-        sel = Bit1Ct(jnp.broadcast_to(selector.array,
-                                      (tvs.shape[0],) + selector.array.shape), ctx)
-        outs = ctx.bootstrap(sel, tvs)                 # Bit1Ct [n_tv, n+1]
-        tvs = _tv_from_ct_arrays(outs.array[0::2], outs.array[1::2],
-                                 ctx.sks.pksk, ctx.params)
-    return ctx.bootstrap(Bit1Ct(bit_cts.array[0], ctx), tvs[0])
+    return Bit1Ct(_tree_pbs_batched(ctx, bit_cts.array, test_vectors), ctx)
 
 
 def generate_keys(params: WopbsParams = PARAMS_SHORTINT_1BIT, seed: int = 0):

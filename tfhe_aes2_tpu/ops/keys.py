@@ -182,7 +182,9 @@ def _round_wrap_u64(e: np.ndarray) -> np.ndarray:
     if _CPU_CAST is None:
         _CPU_CAST = jax.jit(
             lambda x: jnp.rint(x).astype(jnp.int64).astype(jnp.uint64))
-    with jax.default_device(jax.devices("cpu")[0]):
+    # local_devices: under jax.distributed, devices() lists other processes'
+    # (non-addressable) devices too — pinning one of those breaks keygen
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         return np.asarray(_CPU_CAST(e.reshape(-1))).reshape(e.shape)
 
 
@@ -275,7 +277,9 @@ def _wrap_body_cpu(a2: np.ndarray, nc_signed: np.ndarray) -> np.ndarray:
     rows = a2.shape[0]
     chunk = 8192
     out = np.empty((rows, nc_signed.shape[1]), dtype=np.uint64)
-    with jax.default_device(jax.devices("cpu")[0]):
+    # local_devices: under jax.distributed, devices() lists other processes'
+    # (non-addressable) devices too — pinning one of those breaks keygen
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         for lo in range(0, rows, chunk):
             hi = min(lo + chunk, rows)
             out[lo:hi] = np.asarray(_CPU_BODY(a2[lo:hi], nc_signed))

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 U64 = jnp.uint64
 I64 = jnp.int64
 
-_OFFSET64 = jnp.uint64(0x8080808080808080)
 
 
 def encode_bit(bit):
