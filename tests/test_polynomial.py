@@ -425,7 +425,7 @@ def test_pfks_production_geometry():
     np.testing.assert_array_equal(got, ref)
 
     js = truncation.pfpksk_j_start(p)
-    assert js == 2
+    assert js == 1   # budget arm with GLWE key amplification (truncation.py)
     got_t = np.asarray(ksw.pfks_all(jnp.asarray(lwe), planes[js:], p))
     # reconstruct the truncated key in u64 (drop the balanced low planes)
     pl = np.asarray(planes).astype(np.int64)

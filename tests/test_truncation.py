@@ -25,27 +25,27 @@ from tfhe_aes2_tpu.ops.torus import exact_matmul, split_u64_signed
 def test_production_criteria():
     """Pin the production truncation levels (documented in truncation.py).
 
-    BSK and pfPKSK reach js=2 through the budget arm: the PBS/pfKS
-    gadget-rounding variance (2^71.8 / 2^70.4) dominates their key-noise
-    terms, so truncation up to that floor at most doubles output variance."""
+    The criteria carry the mask-plane key-amplification factor (1 + dim/2);
+    BSK js=2 is the documented exception (budget arm without key-amp),
+    retained on the measured 13.4σ end-to-end margin (noise_probe.py)."""
     p = PARAMS_SQRD_LVL_64
-    assert truncation.bsk_j_start(p) == 2
-    assert truncation.ksk_j_start(p) == 6
-    assert truncation.pfpksk_j_start(p) == 2
+    assert truncation.bsk_j_start(p) == 2   # documented exception (budget arm)
+    assert truncation.ksk_j_start(p) == 5   # sigma arm + LWE key amplification
+    assert truncation.pfpksk_j_start(p) == 1  # budget arm + GLWE key amp
     assert truncation.vp_ggsw_j_start(p) == 4
     # the nominal CBS GGSW noise (truncation terms included) sits far above
     # the BSK noise and far below the decode threshold
     sigma = truncation.cbs_ggsw_sigma(p)
-    assert 2.0 ** 34 < sigma < 2.0 ** 38
+    assert 2.0 ** 36 < sigma < 2.0 ** 42   # ~2^40.6: BSK truncation key-amped
     # the budget arm's whole premise, pinned: rounding dominates key noise
     assert truncation.pbs_round_variance(p) > \
         8 * truncation.pbs_amplification(p) * (p.glwe_noise_std * 2.0 ** 64) ** 2
-    # and the VP decode margin survives the doubled variance: VP output std
-    # (GGSW noise amplified by one CMux + VP's own rounding) is ~2^56 against
-    # the 2^62 quarter-gap of a bit at 2^63
+    # and the VP decode margin survives: the nominal model (which measured
+    # ~2^3 pessimistic end-to-end — PERF.md "Production noise margin",
+    # observed 13.4σ) still clears the 8σ line against the 2^62 quarter-gap
     v_vp = (truncation.vp_amplification(p) * sigma ** 2
             + truncation.vp_round_variance(p)) * 8  # 8-deep tree
-    assert math.sqrt(v_vp) < 2.0 ** 62 / 32
+    assert math.sqrt(v_vp) < 2.0 ** 62 / 8
 
 
 def test_gates_disable(monkeypatch):

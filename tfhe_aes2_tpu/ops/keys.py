@@ -315,13 +315,35 @@ def prepare_server_keys(sks: ServerKeySet, params: WopbsParams) -> ServerKeySet:
     if jax.numpy.dtype(getattr(sks.bsk, "dtype", "uint64")) == jax.numpy.int8:
         return sks  # already prepared (idempotent)
 
-    def split_trunc(key, js):
-        return jax.jit(lambda x: split_u64_signed(x)[js:])(key)
+    def split_trunc(key, js, pad_axis=None, pad_to=None):
+        # pad_axis/pad_to: zero-pad one axis to an MXU-tileable extent so the
+        # fused contraction kernel (ops/pallas/matmul.py) accepts the planes;
+        # zero rows/columns contribute nothing (consumers slice outputs or
+        # zero-pad the matching digit rows).
+        def f(x):
+            p = split_u64_signed(x)[js:]
+            if pad_axis is not None and p.shape[pad_axis] < pad_to:
+                widths = [(0, 0)] * p.ndim
+                widths[pad_axis] = (0, pad_to - p.shape[pad_axis])
+                p = jax.numpy.pad(p, widths)
+            return p
+        return jax.jit(f)(key)
+
+    def ceil_to(x, m):
+        return -(-x // m) * m
 
     bsk_p = jax.jit(br.prepare_bsk, static_argnames=("params",))(
         sks.bsk, params=params)
-    ksk_p = split_trunc(sks.ksk, truncation.ksk_j_start(params))
-    pfpksk_p = split_trunc(sks.pfpksk, truncation.pfpksk_j_start(params))
+    # ksk planes [nj, kN, L, n+1]: output axis n+1 padded to a lane multiple
+    ksk_p = split_trunc(sks.ksk, truncation.ksk_j_start(params),
+                        pad_axis=3, pad_to=ceil_to(sks.ksk.shape[-1], 128))
+    # pfpksk planes [nj, kN+1, L, U, k+1, N]: the contraction axis
+    # (kN+1)·L padded to a multiple of 128 via the kN+1 row axis
+    kn1 = sks.pfpksk.shape[0]
+    lvl = sks.pfpksk.shape[1]
+    kn1_pad = ceil_to(kn1, 128 // lvl) if 128 % lvl == 0 else kn1
+    pfpksk_p = split_trunc(sks.pfpksk, truncation.pfpksk_j_start(params),
+                           pad_axis=1, pad_to=kn1_pad)
     return ServerKeySet(bsk=bsk_p, ksk=ksk_p, pfpksk=pfpksk_p, pksk=sks.pksk)
 
 

@@ -43,6 +43,8 @@ def keyswitch(lwe_big, ksk, params: WopbsParams):
     acc = exact_matmul(d2, m2, decomposition.digit_bound(p.ks_base_log),
                        max_k=kn * levels, m_j_start=js)
     acc = acc.reshape(batch + (n1,))
+    if n1 > p.lwe_dimension + 1:   # prepared key padded to a lane multiple
+        acc = acc[..., : p.lwe_dimension + 1]
 
     out = jnp.uint64(0) - acc
     return out.at[..., -1].add(b)
@@ -78,9 +80,14 @@ def pfks_all(lwe_big, pfpksk, params: WopbsParams):
 
     digits = decomposition.decompose(lwe_big, p.pfks_base_log, p.pfks_level)
     # negate the mask digits, keep the body digit
+    kn1_in = digits.shape[-2]
     sign = jnp.concatenate(
-        [jnp.full((kn1 - 1,), -1, jnp.int32), jnp.ones((1,), jnp.int32)])
+        [jnp.full((kn1_in - 1,), -1, jnp.int32), jnp.ones((1,), jnp.int32)])
     digits = digits * sign[:, None]
+    if kn1 > kn1_in:   # prepared key row-padded to a lane multiple
+        widths = [(0, 0)] * digits.ndim
+        widths[-2] = (0, kn1 - kn1_in)
+        digits = jnp.pad(digits, widths)
 
     batch = digits.shape[:-2]
     d2 = digits.reshape((-1, kn1 * levels))

@@ -138,6 +138,17 @@ def _exact_matmul_i8(d, m_u64, d_bound: int, dn: str, max_k: int | None,
         assert min(n_d, 8) * max_k * 127 * 127 < 2 ** 31, \
             "contraction too long for int32 accumulation"
 
+    # fused pallas path (TPU): the limb dots + u64 recombination run in one
+    # kernel with VMEM buckets — the XLA lowering below materializes every
+    # int32 partial and u64 term through HBM (keyswitch/pfKS hot path).
+    # Gate: TFHE_MM_FUSED=0 disables; ineligible shapes fall through.
+    if dn == "bk,ko->bo" and m_planes.ndim == 3 and d.ndim == 2:
+        import os
+        if os.environ.get("TFHE_MM_FUSED", "1") != "0":
+            from tfhe_aes2_tpu.ops.pallas import matmul as pmm
+            if pmm.eligible(d.shape, m_planes.shape):
+                return pmm.fused_limb_matmul(d_planes, m_planes, m_j_start)
+
     # Accumulate partial sums per total shift s = i + j (weight 256^s); s >= 8
     # vanishes mod 2^64.
     out = None

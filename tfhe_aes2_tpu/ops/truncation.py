@@ -8,24 +8,40 @@ weight sits far below sigma are indistinguishable from noise: dropping planes
 0..js-1 replaces each coefficient x by x - (x mod 2^(8·js)), an extra
 "truncation noise" uniform in ±2^(8·js-1), std 2^(8·js)/sqrt(12).
 
-Because that truncation error enters every downstream sum *exactly like the
-coefficient's own noise* (multiplied by the same digits, accumulated over the
-same terms), two independent criteria each justify dropping a plane; js is
-the max of the two arms:
+Unlike encryption noise — which lives only in the ciphertext *body* —
+truncation also hits the *mask* coefficients, and a mask perturbation err_a
+reaches the phase through the secret key: err_phase = err_b − <err_a, s>
+(polynomially for GLWE rows). For a binary secret that multiplies the
+truncation variance by the KEY AMPLIFICATION factor
 
-  sigma arm   2^(8·js)/sqrt(12) <= sigma / safety — the truncation noise
-              hides under the key's own noise (variance +1/safety²).
-  budget arm  A·(2^(8·js)/sqrt(12))² <= frac · V_round — the *operation*
+    key_amp = 1 + dim/2      (dim = kN for GLWE-keyed rows, n for LWE)
+
+— about 2^10 at production — exactly the factor in mod-switch noise
+analyses. (Round-1 shipped without it; the 2026-08-19 measured noise
+attribution, PERF.md "Production noise margin", found the end-to-end output
+variance 127x the no-truncation baseline, split ~53% BSK / ~46% KSK+pfPKSK,
+precisely this factor.) Two criteria then justify dropping a plane; js is
+the max of the two arms, with key_amp included on the truncation side:
+
+  sigma arm   key_amp·(2^(8·js))²/12 <= (sigma/safety)² — the truncation
+              noise hides under the key's own (body-only) noise.
+  budget arm  A·key_amp·(2^(8·js))²/12 <= frac · V_round — the *operation*
               that consumes the key adds gadget-decomposition rounding noise
               V_round regardless of the key; A is the factor mapping
               per-coefficient key variance into output variance (the same A
-              multiplies sigma² in the standard bounds). When V_round
-              dominates the key term (it does at production: the PBS
-              rounding term is 2^71.8 vs a BSK term of 2^66.7), truncation
-              up to the rounding floor is free-riding on noise the operation
-              already pays. frac = TFHE_TRUNC_BUDGET (default 1.0: output
-              variance at most doubles, std ×<=1.41, against decode margins
-              of ~80 std at production — see PERF.md).
+              multiplies sigma² in the standard bounds). Truncation up to
+              the rounding floor rides noise the operation already pays.
+              frac = TFHE_TRUNC_BUDGET (default 1.0).
+
+  EXCEPTION — BSK: the blind-rotate key keeps js=2, which the key-amped
+  budget arm does NOT cover (it allows js=1; js=2 exceeds it by ~2^9 in
+  variance). It is retained because (a) it saves 2/13 of the CMux dots in
+  the kernel that is ~90% of total runtime, and (b) the MEASURED end-to-end
+  decode margin with it is 13.9σ (10.2σ before the KSK/pfPKSK backoff),
+  above the reference parameter set's p≈5.4e-20 ≈ 9.1σ design point.
+  noise_probe.py / tests/test_noise_margin.py guard this empirically; if
+  the margin regresses below the bar, drop TFHE_BSK_TRUNC or lower this js
+  first.
 
 The reference (tfhe-rs f64 FFT) pays a similar *implicit* truncation: its
 53-bit mantissa products round the low bits of every polynomial product; this
@@ -34,11 +50,11 @@ noise-accounted choice rather than a floating-point accident.
 
 Per-key noise floors at the production set (PARAMS_SQRD_LVL_64):
 
-    key      sigma (torus units)     js  arm     int8 dots kept
-    BSK      sigma_bsk ≈ 2^12         2  budget  11/15  (blind-rotate CMux)
-    KSK      sigma_lwe ≈ 2^49.6       6  sigma    2/8   (big->small KS)
-    pfPKSK   sigma_pfks ≈ 2^12        2  budget  14/18  (pfKS)
-    VP GGSW  nominal CBS out ≈ 2^36   4  both     7/15  (vertical packing)
+    key      sigma (torus units)     js  arm        int8 dots kept
+    BSK      sigma_bsk ≈ 2^12         2  EXCEPTION  11/15  (blind-rotate CMux)
+    KSK      sigma_lwe ≈ 2^49.6       5  sigma       3/8   (big->small KS)
+    pfPKSK   sigma_pfks ≈ 2^12        1  budget     16/18  (pfKS)
+    VP GGSW  nominal CBS out ≈ 2^40   4  budget      7/15  (vertical packing)
 
 The VP entry: the GGSW selectors of vertical packing are *runtime data*
 produced by circuit bootstrapping, whose noise (blind rotate + pfKS,
@@ -59,12 +75,26 @@ _Q = 2.0 ** 64
 _SQRT12 = math.sqrt(12.0)
 
 
-def j_start_for_sigma(sigma: float, safety: float = 8.0) -> int:
-    """Largest js in [0, 7] with truncation std 2^(8·js)/sqrt(12) <= sigma/safety."""
+def j_start_for_sigma(sigma: float, safety: float = 8.0,
+                      key_amp: float = 1.0) -> int:
+    """Largest js in [0, 7] with key-amplified truncation std
+    sqrt(key_amp)·2^(8·js)/sqrt(12) <= sigma/safety."""
     js = 0
-    while js < 7 and (2.0 ** (8 * (js + 1))) / _SQRT12 <= sigma / safety:
+    while js < 7 and (math.sqrt(key_amp) * (2.0 ** (8 * (js + 1))) / _SQRT12
+                      <= sigma / safety):
         js += 1
     return js
+
+
+def glwe_key_amp(params: WopbsParams) -> float:
+    """Mask-plane truncation key amplification for GLWE-keyed rows
+    (binary secret): 1 + kN/2."""
+    return 1.0 + params.glwe_dimension * params.polynomial_size / 2.0
+
+
+def lwe_key_amp(params: WopbsParams) -> float:
+    """Mask-plane truncation key amplification for small-LWE-keyed rows."""
+    return 1.0 + params.lwe_dimension / 2.0
 
 
 def _gate(env: str) -> bool:
@@ -85,11 +115,13 @@ def budget_sigma(v_round: float, amplification: float) -> float:
 def bsk_j_start(params: WopbsParams) -> int:
     """BSK planes dropped in the blind-rotate CMux kernels.
 
-    sigma arm at safety=32 (variance +0.1%): the GGSW noise of the *scaling
-    PBS* output is amplified by the vertical-packing digits (base
-    2^cbs_base_log), so the BSK floor is held tighter than the keyswitch
-    keys'. The budget arm rides the PBS gadget-rounding term, which dominates
-    at production (js 1 -> 2: 11/13 of the CMux dots).
+    DOCUMENTED EXCEPTION (module docstring): this criterion deliberately
+    omits the key-amplification factor — with it the budget arm allows only
+    js=1, while js=2 saves 2/13 of the dots in the kernel that is ~90% of
+    total runtime. The resulting end-to-end decode margin is MEASURED at
+    13.9σ (noise_probe.py, PERF.md "Production noise margin"), above the
+    parameter set's p≈5.4e-20 ≈ 9.1σ design point; test_noise_margin guards
+    the bar. If it ever regresses, lower this js before anything else.
     """
     if not _gate("TFHE_BSK_TRUNC"):
         return 0
@@ -103,26 +135,31 @@ def ksk_j_start(params: WopbsParams) -> int:
     """KSK planes dropped in the big->small keyswitch.
 
     The small-LWE key noise is huge (sigma ≈ 2^49.6 at production — the
-    keyswitch is the noisiest step of WoP-PBS by design), so at production all
-    of planes 0..5 sit below the noise floor: the keyswitch contraction needs
-    only 2 of its 8 int8 limb matmuls.
+    keyswitch is the noisiest step of WoP-PBS by design); with the mask-plane
+    key amplification (1 + n/2) accounted, planes 0..4 sit below the noise
+    floor: the keyswitch contraction needs 3 of its 8 int8 limb matmuls.
+    (Round 1 used js=6 without the key-amp factor; the measured noise
+    attribution showed that contributed ~half of a 127x output-variance
+    inflation — see module docstring.)
     """
     if not _gate("TFHE_KSK_TRUNC"):
         return 0
-    return j_start_for_sigma(params.lwe_noise_std * _Q, safety=8.0)
+    return j_start_for_sigma(params.lwe_noise_std * _Q, safety=8.0,
+                             key_amp=lwe_key_amp(params))
 
 
 def pfpksk_j_start(params: WopbsParams) -> int:
     """pfPKSK planes dropped in the pfKS contraction.
 
     sigma arm on the pfKS key noise plus the budget arm on the pfKS
-    gadget-rounding term (dominant at production: js 1 -> 2)."""
+    gadget-rounding term, both with the GLWE key-amplification factor
+    (dominant arm at production: budget, js=1)."""
     if not _gate("TFHE_KSK_TRUNC"):
         return 0
     p = params
     sigma = max(p.pfks_noise_std * _Q / 8.0,
                 budget_sigma(pfks_round_variance(p), pfks_amplification(p)))
-    return j_start_for_sigma(sigma, safety=1.0)
+    return j_start_for_sigma(sigma, safety=1.0, key_amp=glwe_key_amp(p))
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +198,8 @@ def pbs_out_variance(params: WopbsParams) -> float:
     including the variance added by the active BSK plane truncation."""
     sigma_bsk = params.glwe_noise_std * _Q
     return pbs_amplification(params) \
-        * (sigma_bsk ** 2 + _trunc_var(bsk_j_start(params))) \
+        * (sigma_bsk ** 2
+           + glwe_key_amp(params) * _trunc_var(bsk_j_start(params))) \
         + pbs_round_variance(params)
 
 
@@ -186,7 +224,8 @@ def pfks_add_variance(params: WopbsParams) -> float:
     including the variance added by the active pfPKSK plane truncation."""
     sigma = params.pfks_noise_std * _Q
     return pfks_amplification(params) \
-        * (sigma ** 2 + _trunc_var(pfpksk_j_start(params))) \
+        * (sigma ** 2
+           + glwe_key_amp(params) * _trunc_var(pfpksk_j_start(params))) \
         + pfks_round_variance(params)
 
 
@@ -223,4 +262,4 @@ def vp_ggsw_j_start(params: WopbsParams) -> int:
     p = params
     sigma = max(cbs_ggsw_sigma(p) / 8.0,
                 budget_sigma(vp_round_variance(p), vp_amplification(p)))
-    return j_start_for_sigma(sigma, safety=1.0)
+    return j_start_for_sigma(sigma, safety=1.0, key_amp=glwe_key_amp(p))
