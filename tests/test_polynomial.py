@@ -236,6 +236,17 @@ def test_pallas_extprod_grouped_matches_matmul():
         jnp.asarray(digits), ext_planes, bound))
     np.testing.assert_array_equal(got, expect)
 
+    # the legacy per-(lane, o, r) kernel + XLA recombine (TFHE_VP_FUSED=0)
+    # must stay bit-identical to the fused default
+    import os
+    os.environ["TFHE_VP_FUSED"] = "0"
+    try:
+        got_old = np.asarray(extprod.polymul_digits_pallas_grouped(
+            jnp.asarray(digits), ext_planes, bound))
+    finally:
+        del os.environ["TFHE_VP_FUSED"]
+    np.testing.assert_array_equal(got_old, expect)
+
 
 def test_pallas_extprod_step_fused_matches_unfused():
     """The fused CMux-step kernel (u64 recombination + accumulate in VMEM)

@@ -1042,6 +1042,82 @@ def extprod_partials_grouped(digit_planes, ext_planes,
     return jnp.transpose(out, (2, 0, 3, 1, 4))                 # [8, B, G, O, N]
 
 
+def _kernel_grouped_fused(n_d: int, g: int, n: int, r_cnt: int, j_start: int,
+                          dig_ref, ext_ref, out_ref, part_ref):
+    """Grid (B, O) body: one vertical-packing external-product component per
+    cell, with the u64 recombination fused in.
+
+    The per-(b, o, r) grouped kernel ran 3200 tiny cells per VP step at
+    production (128 lanes x 5 o x 5 r) and returned int32 partials to HBM for
+    an XLA recombine — grid overhead and the u64-emulated shift/adds
+    dominated the stage. Here one cell covers all R rows of component o and
+    recombines in VMEM; each out block is written exactly once.
+
+    dig_ref  [1, R, n_d·G, N]      int8   (lane b's digit planes, all rows)
+    ext_ref  [1, 1, R, 8-js, 2N]   int8   ((b, o) GGSW row limb planes)
+    out_ref  [1, 1, 2, G, N]       uint32 ((lo, hi) of lane b's G accs, comp o)
+    part_ref [8, G, N]             int32  scratch (weight-2^(8s) buckets)
+    """
+    part_ref[...] = jnp.zeros_like(part_ref)
+    for r in range(r_cnt):
+        for j, ncm in _packed_nc_planes(
+                n, [j for j in range(j_start, 8)
+                    if any(i + j < 8 for i in range(n_d))],
+                lambda j, r=r: ext_ref[0, 0, r, j - j_start:
+                                       j - j_start + 1, :]):
+            contrib = jnp.dot(dig_ref[0, r], ncm,
+                              preferred_element_type=jnp.int32)   # [n_d·G, N]
+            for i in range(n_d):
+                s = i + j
+                if s >= 8:
+                    continue
+                part_ref[s] = part_ref[s] + contrib[i * g: (i + 1) * g]
+
+    zero = jnp.zeros(part_ref.shape[1:], jnp.uint32)
+    lo, hi = _recombine(j_start, zero, zero, part_ref)
+    out_ref[0, 0, 0] = lo
+    out_ref[0, 0, 1] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("n_d", "interpret", "j_start"))
+def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
+                          j_start: int = 0):
+    """Per-lane-kernel external product with fused u64 recombination.
+
+    dig: int8 [B, R, n_d·G, N] (lane b's digit limb planes, rows r);
+    ext: int8 [B, O, R, 8-j_start, 2N] (lane b's GGSW row limb planes)
+    -> uint32 [B, O, 2, G, N] ((lo, hi) pairs; caller combines to u64).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, r, ndg, n = dig.shape
+    b2, o, r2, j_cnt, two_n = ext.shape
+    assert (b2, r2, two_n) == (b, r, 2 * n) and j_cnt == 8 - j_start
+    assert ndg % n_d == 0
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = ndg // n_d
+
+    kern = functools.partial(_kernel_grouped_fused, n_d, g, n, r, j_start)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(b, o),
+            in_specs=[
+                pl.BlockSpec((1, r, ndg, n), lambda bb, oo: (bb, 0, 0, 0)),
+                pl.BlockSpec((1, 1, r, j_cnt, two_n),
+                             lambda bb, oo: (bb, oo, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 2, g, n),
+                                   lambda bb, oo: (bb, oo, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
+            interpret=interpret,
+        )(dig, ext)
+    return out
+
+
 def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int,
                                   j_start: int = 0):
     """Drop-in for polynomial.polymul_digits_conv_grouped on the pallas path.
@@ -1051,12 +1127,31 @@ def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int,
                 lowest j_start planes dropped by the caller — noise-floor
                 truncation per ops/truncation.py)
     -> [B, G, O, N] u64, exact mod 2^64 over the kept planes.
+
+    Default lowering is the fused per-(lane, o) kernel (extprod_grouped_fused:
+    one cell per GGSW component with in-VMEM u64 recombination — the
+    per-(lane, o, r) kernel ran 5x the cells and round-tripped int32 partials
+    through HBM for an XLA recombine). TFHE_VP_FUSED=0 restores the old path.
     """
+    import os
+
     from tfhe_aes2_tpu.ops.torus import (limbs_for_bound, sext_i32_to_u64,
                                          split_int32_signed)
 
     n_d = limbs_for_bound(d_bound)
     d_planes = split_int32_signed(jnp.asarray(digits, jnp.int32), n_d)
+
+    if os.environ.get("TFHE_VP_FUSED", "1") != "0":
+        b, g, r, n = digits.shape
+        dig = jnp.transpose(d_planes, (1, 3, 0, 2, 4)).reshape(
+            (b, r, n_d * g, n))
+        ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))
+        # [B, O, R, 8-js, 2N]
+        pair = extprod_grouped_fused(dig, ext, n_d=n_d, j_start=j_start)
+        out = (pair[:, :, 0].astype(jnp.uint64)
+               | (pair[:, :, 1].astype(jnp.uint64) << jnp.uint64(32)))
+        return jnp.transpose(out, (0, 2, 1, 3))               # [B, G, O, N]
+
     parts = extprod_partials_grouped(d_planes, ext_planes, j_start=j_start)
     out = None                                                 # [8, B, G, O, N]
     for s in range(j_start, 8):
