@@ -256,8 +256,12 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                         j_start=j_start, mstack2=mstack2)
                     return (acc_of, dig), None
 
+                # TFHE_BR_UNROLL: scan-body unrolling amortizes the XLA
+                # while-loop bookkeeping across CMux steps (677 iterations)
+                unroll = int(_os.environ.get("TFHE_BR_UNROLL", "1"))
                 (acc_of, _), _ = jax.lax.scan(
-                    step_g, (acc_of, dig0), (ext_or_all, a_next))
+                    step_g, (acc_of, dig0), (ext_or_all, a_next),
+                    unroll=max(1, unroll))
                 out = up.to_u64(jnp.moveaxis(acc_of[:, 0], 0, -2),
                                 jnp.moveaxis(acc_of[:, 1], 0, -2))
                 return out.reshape(batch_shape + (k1, n))
