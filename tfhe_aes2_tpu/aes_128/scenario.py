@@ -33,12 +33,19 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
                                    key_clear: bytes, iv: bytes,
                                    block_count: int,
                                    strategy=fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt,
-                                   verify: bool = True, rounds: int = 10):
+                                   verify: bool = True, rounds: int = 10,
+                                   compress_log2q: int | None = None):
     """Returns (decrypted blocks, timings dict).
 
     rounds < 10 is a development mode (not in the reference CLI): the result
     is verified against the first-party partial-round plain oracle instead of
     the AES authority (test_helper.rs uses the same oracle split).
+
+    compress_log2q (16 or 32, woppbs_1bit strategies only): the server
+    keyswitches the output bits to the small key and modulus-switches to
+    q' = 2^log2q before transport — a ~12x / ~6x smaller response than the
+    raw big-key ciphertexts (ops/compression.py; beyond the reference, whose
+    client/server split is in-process so transfer is free).
     """
     # Client side: FHE encrypt AES key and CTR blocks
     key_ct = strategy.encrypt_key_client(client, key_clear)
@@ -64,7 +71,21 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
           f"({block_count / t_blocks:.4f} blocks/s)")
 
     # Client side: decrypt and verify against the independent AES authority
-    decrypted = strategy.decrypt_client(client, np.asarray(out))
+    if compress_log2q is not None:
+        from tfhe_aes2_tpu.ops import compression
+        comp = jax.jit(compression.compress_bits,
+                       static_argnames=("params", "log2q"))(
+            out, ctx.sks, params=ctx.params, log2q=compress_log2q)
+        blob = compression.pack_bytes(np.asarray(comp), compress_log2q)
+        raw = int(np.asarray(out).nbytes)
+        print(f"compressed response: {len(blob)} bytes "
+              f"({raw / len(blob):.1f}x smaller than big-key cts)")
+        comp_arr = compression.unpack_bytes(blob, np.asarray(comp).shape,
+                                            compress_log2q)
+        decrypted = compression.decrypt_blocks_compressed(
+            client, comp_arr, compress_log2q)
+    else:
+        decrypted = strategy.decrypt_client(client, np.asarray(out))
     if verify:
         if rounds == 10:
             expect = aes_lib.encrypt_blocks(key_clear, blocks_clear)

@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--rounds", type=int, default=10,
                     help="AES rounds (dev flag; <10 verifies against the "
                          "partial-round plain oracle)")
+    ap.add_argument("--compress-output", type=int, default=None,
+                    choices=[16, 32],
+                    help="compress the server response to small-key cts at "
+                         "modulus 2^N before transport (~12x/6x smaller; "
+                         "woppbs-1bit only — ops/compression.py)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=args.log_level,
@@ -76,8 +81,13 @@ def main(argv=None) -> int:
         client, ctx = model.generate_keys(pset, seed=args.seed)
         strategy = fhe_mod.Shortint1BitSboxPbsAesEncrypt
 
+    if (args.compress_output is not None
+            and args.implementation != "shortint-woppbs-1bit"):
+        ap.error("--compress-output needs the shortint-woppbs-1bit model "
+                 "(big-key output bits)")
     run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs,
-                                   strategy=strategy, rounds=args.rounds)
+                                   strategy=strategy, rounds=args.rounds,
+                                   compress_log2q=args.compress_output)
     oracle = ("AES authority" if args.rounds == 10
               else f"plain {args.rounds}-round oracle")
     print(f"ok: FHE keystream verified against {oracle}")
