@@ -42,7 +42,16 @@ def test_two_process_cpu_distributed():
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True, env=env)
              for pid in (0, 1)]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=540)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:          # kill BOTH exact child PIDs (never pkill)
+            if p.poll() is None:
+                p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        raise AssertionError(
+            "distributed rendezvous timed out;\n"
+            + "\n".join(o[-1500:] for o in outs))
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
         assert f"ok: process {pid} verified" in out, out[-3000:]

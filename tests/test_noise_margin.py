@@ -6,7 +6,7 @@ the TPU twice — truncations on vs off — and assert
   (a) both keystreams verify against the AES authority,
   (b) the observed output phase-error std clears the parameter set's
       p≈5.4e-20 ≈ 9.1σ design margin with all limb-plane truncations active
-      (measured 2026-08-19: 13.9σ, log2_std 58.2 — the bar at 58.8 fails on
+      (measured 2026-08-19: 13.4σ, log2_std 58.25 — the bar at 58.8 fails on
       any >2.3x variance regression),
   (c) the truncation-induced variance inflation vs the no-truncation
       baseline stays within its measured envelope (~68x, dominated by the

@@ -214,7 +214,7 @@ def test_polymul_digits_batched():
         np.testing.assert_array_equal(got[b], single)
 
 
-def test_pallas_extprod_grouped_matches_matmul():
+def test_pallas_extprod_grouped_matches_matmul(monkeypatch):
     """The per-lane-kernel Pallas kernel (vertical-packing shape, interpret
     mode) vs the reference grouped matmul lowering."""
     import jax
@@ -232,19 +232,16 @@ def test_pallas_extprod_grouped_matches_matmul():
 
     ext_planes = jax.vmap(extprod.split_polys_for_pallas)(jnp.asarray(polys))
     ext_planes = jnp.moveaxis(ext_planes, 1, 0)          # [8, B, R, O, 2N]
+    monkeypatch.setenv("TFHE_VP_FUSED", "1")
     got = np.asarray(extprod.polymul_digits_pallas_grouped(
         jnp.asarray(digits), ext_planes, bound))
     np.testing.assert_array_equal(got, expect)
 
     # the legacy per-(lane, o, r) kernel + XLA recombine (TFHE_VP_FUSED=0)
     # must stay bit-identical to the fused default
-    import os
-    os.environ["TFHE_VP_FUSED"] = "0"
-    try:
-        got_old = np.asarray(extprod.polymul_digits_pallas_grouped(
-            jnp.asarray(digits), ext_planes, bound))
-    finally:
-        del os.environ["TFHE_VP_FUSED"]
+    monkeypatch.setenv("TFHE_VP_FUSED", "0")
+    got_old = np.asarray(extprod.polymul_digits_pallas_grouped(
+        jnp.asarray(digits), ext_planes, bound))
     np.testing.assert_array_equal(got_old, expect)
 
 

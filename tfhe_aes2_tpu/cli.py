@@ -48,6 +48,11 @@ def main(argv=None) -> int:
     if len(iv) != 8:
         ap.error("invalid iv length, must be 8 bytes")
 
+    if (args.compress_output is not None
+            and args.implementation != "shortint-woppbs-1bit"):
+        ap.error("--compress-output needs the shortint-woppbs-1bit model "
+                 "(big-key output bits)")
+
     from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
     from tfhe_aes2_tpu.aes_128.scenario import run_client_server_aes_scenario
 
@@ -81,10 +86,6 @@ def main(argv=None) -> int:
         client, ctx = model.generate_keys(pset, seed=args.seed)
         strategy = fhe_mod.Shortint1BitSboxPbsAesEncrypt
 
-    if (args.compress_output is not None
-            and args.implementation != "shortint-woppbs-1bit"):
-        ap.error("--compress-output needs the shortint-woppbs-1bit model "
-                 "(big-key output bits)")
     run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs,
                                    strategy=strategy, rounds=args.rounds,
                                    compress_log2q=args.compress_output)

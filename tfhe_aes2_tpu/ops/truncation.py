@@ -37,7 +37,7 @@ the max of the two arms, with key_amp included on the truncation side:
   budget arm does NOT cover (it allows js=1; js=2 exceeds it by ~2^9 in
   variance). It is retained because (a) it saves 2/13 of the CMux dots in
   the kernel that is ~90% of total runtime, and (b) the MEASURED end-to-end
-  decode margin with it is 13.9σ (10.2σ before the KSK/pfPKSK backoff),
+  decode margin with it is 13.4σ (10.2σ before the KSK/pfPKSK backoff),
   above the reference parameter set's p≈5.4e-20 ≈ 9.1σ design point.
   noise_probe.py / tests/test_noise_margin.py guard this empirically; if
   the margin regresses below the bar, drop TFHE_BSK_TRUNC or lower this js
@@ -119,7 +119,7 @@ def bsk_j_start(params: WopbsParams) -> int:
     omits the key-amplification factor — with it the budget arm allows only
     js=1, while js=2 saves 2/13 of the dots in the kernel that is ~90% of
     total runtime. The resulting end-to-end decode margin is MEASURED at
-    13.9σ (noise_probe.py, PERF.md "Production noise margin"), above the
+    13.4σ (noise_probe.py, PERF.md "Production noise margin"), above the
     parameter set's p≈5.4e-20 ≈ 9.1σ design point; test_noise_margin guards
     the bar. If it ever regresses, lower this js before anything else.
     """

@@ -136,7 +136,8 @@ def main(argv=None) -> int:
     ap.add_argument("--coordinator", type=str, default=None)
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
-    ap.add_argument("--params", type=str, default="test")
+    ap.add_argument("--params", type=str, default="test",
+                    choices=["test", "test-n256", "lvl64"])
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--blocks-per-device", type=int, default=1)
     ap.add_argument("--seed", type=int, default=3)
