@@ -17,7 +17,7 @@ def test_compress_roundtrip(keys_test, log2q):
     big = jnp.asarray(client.encrypt_bits(bits))
 
     comp = compression.compress_bits(big, sks, client.params, log2q)
-    assert comp.dtype == jnp.uint32
+    assert comp.dtype == (jnp.uint16 if log2q <= 16 else jnp.uint32)
     got = compression.decrypt_bits_compressed(client, np.asarray(comp), log2q)
     np.testing.assert_array_equal(got, bits)
 

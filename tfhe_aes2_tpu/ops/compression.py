@@ -31,17 +31,21 @@ from tfhe_aes2_tpu.ops.torus import U64
 
 
 def mod_switch_q(x, log2q: int):
-    """u64 torus -> Z_{2^log2q}: round(x · q'/2^64), uint32."""
+    """u64 torus -> Z_{2^log2q}: round(x · q'/2^64), in the narrowest word
+    (uint16 when log2q <= 16, else uint32) so transport off the device
+    already rides the wire width."""
     x = jnp.asarray(x, U64)
     shift = 64 - log2q
     r = (x + (jnp.uint64(1) << jnp.uint64(shift - 1))) >> jnp.uint64(shift)
     mask = jnp.uint64((1 << log2q) - 1)
-    return (r & mask).astype(jnp.uint32)
+    dt = jnp.uint16 if log2q <= 16 else jnp.uint32
+    return (r & mask).astype(dt)
 
 
 def compress_bits(cts_big, sks, params: WopbsParams, log2q: int = 32):
     """Big-key LWE bits [..., kN+1] -> compressed small-key cts
-    uint32 [..., n+1] with coefficients in Z_{2^log2q} (log2q <= 32)."""
+    [..., n+1] with coefficients in Z_{2^log2q} (log2q <= 32; uint16 words
+    when log2q <= 16)."""
     assert 8 <= log2q <= 32
     small = ksw.keyswitch(jnp.asarray(cts_big, U64), sks.ksk, params)
     return mod_switch_q(small, log2q)
@@ -49,7 +53,7 @@ def compress_bits(cts_big, sks, params: WopbsParams, log2q: int = 32):
 
 def pack_bytes(comp, log2q: int) -> bytes:
     """Serialize a compressed tensor to little-endian log2q-bit words."""
-    arr = np.asarray(comp, dtype=np.uint32)
+    arr = np.asarray(comp)
     if log2q <= 16:
         return arr.astype("<u2").tobytes()
     return arr.astype("<u4").tobytes()
