@@ -1042,41 +1042,42 @@ def extprod_partials_grouped(digit_planes, ext_planes,
     return jnp.transpose(out, (2, 0, 3, 1, 4))                 # [8, B, G, O, N]
 
 
-def _kernel_grouped_fused(n_d: int, g: int, n: int, r_cnt: int, j_start: int,
-                          dig_ref, ext_ref, out_ref, part_ref):
-    """Grid (B, O) body: one vertical-packing external-product component per
-    cell, with the u64 recombination fused in.
+def _kernel_grouped_fused(n_d: int, g: int, n: int, r_cnt: int, o_cnt: int,
+                          j_start: int, dig_ref, ext_ref, out_ref, part_ref):
+    """Grid (B,) or (B, O) body: vertical-packing external product for one
+    lane (o_cnt components per cell) with the u64 recombination fused in.
 
     The per-(b, o, r) grouped kernel ran 3200 tiny cells per VP step at
     production (128 lanes x 5 o x 5 r) and returned int32 partials to HBM for
     an XLA recombine — grid overhead and the u64-emulated shift/adds
-    dominated the stage. Here one cell covers all R rows of component o and
-    recombines in VMEM; each out block is written exactly once.
+    dominated the stage. Here one cell covers all R rows of o_cnt components
+    and recombines in VMEM; each out block is written exactly once.
 
-    dig_ref  [1, R, n_d·G, N]      int8   (lane b's digit planes, all rows)
-    ext_ref  [1, 1, R, 8-js, 2N]   int8   ((b, o) GGSW row limb planes)
-    out_ref  [1, 1, 2, G, N]       uint32 ((lo, hi) of lane b's G accs, comp o)
-    part_ref [8, G, N]             int32  scratch (weight-2^(8s) buckets)
+    dig_ref  [1, R, n_d·G, N]        int8   (lane b's digit planes, all rows)
+    ext_ref  [1, o_cnt, R, 8-js, 2N] int8   (lane b's GGSW row limb planes)
+    out_ref  [1, o_cnt, 2, G, N]     uint32 ((lo, hi) of lane b's G accs)
+    part_ref [8, G, N]               int32  scratch (weight-2^(8s) buckets)
     """
-    part_ref[...] = jnp.zeros_like(part_ref)
-    for r in range(r_cnt):
-        for j, ncm in _packed_nc_planes(
-                n, [j for j in range(j_start, 8)
-                    if any(i + j < 8 for i in range(n_d))],
-                lambda j, r=r: ext_ref[0, 0, r, j - j_start:
-                                       j - j_start + 1, :]):
-            contrib = jnp.dot(dig_ref[0, r], ncm,
-                              preferred_element_type=jnp.int32)   # [n_d·G, N]
-            for i in range(n_d):
-                s = i + j
-                if s >= 8:
-                    continue
-                part_ref[s] = part_ref[s] + contrib[i * g: (i + 1) * g]
+    for o in range(o_cnt):
+        part_ref[...] = jnp.zeros_like(part_ref)
+        for r in range(r_cnt):
+            for j, ncm in _packed_nc_planes(
+                    n, [j for j in range(j_start, 8)
+                        if any(i + j < 8 for i in range(n_d))],
+                    lambda j, r=r, o=o: ext_ref[0, o, r, j - j_start:
+                                                j - j_start + 1, :]):
+                contrib = jnp.dot(dig_ref[0, r], ncm,
+                                  preferred_element_type=jnp.int32)
+                for i in range(n_d):
+                    s = i + j
+                    if s >= 8:
+                        continue
+                    part_ref[s] = part_ref[s] + contrib[i * g: (i + 1) * g]
 
-    zero = jnp.zeros(part_ref.shape[1:], jnp.uint32)
-    lo, hi = _recombine(j_start, zero, zero, part_ref)
-    out_ref[0, 0, 0] = lo
-    out_ref[0, 0, 1] = hi
+        zero = jnp.zeros(part_ref.shape[1:], jnp.uint32)
+        lo, hi = _recombine(j_start, zero, zero, part_ref)
+        out_ref[0, o, 0] = lo
+        out_ref[0, o, 1] = hi
 
 
 @functools.partial(jax.jit, static_argnames=("n_d", "interpret", "j_start"))
@@ -1099,22 +1100,45 @@ def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
 
     g = ndg // n_d
 
-    kern = functools.partial(_kernel_grouped_fused, n_d, g, n, r, j_start)
+    # TFHE_VP_CELLS=o runs one component per cell (grid (B, O)); the default
+    # merges all components into one cell per lane (grid (B,)) — 5x fewer
+    # grid cells at identical work
+    import os
+    per_o = os.environ.get("TFHE_VP_CELLS", "b") == "o"
+    o_cell = 1 if per_o else o
+    kern = functools.partial(_kernel_grouped_fused, n_d, g, n, r, o_cell,
+                             j_start)
     with jax.enable_x64(False):
-        out = pl.pallas_call(
-            kern,
-            grid=(b, o),
-            in_specs=[
-                pl.BlockSpec((1, r, ndg, n), lambda bb, oo: (bb, 0, 0, 0)),
-                pl.BlockSpec((1, 1, r, j_cnt, two_n),
-                             lambda bb, oo: (bb, oo, 0, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, 2, g, n),
-                                   lambda bb, oo: (bb, oo, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
-            scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
-            interpret=interpret,
-        )(dig, ext)
+        if per_o:
+            out = pl.pallas_call(
+                kern,
+                grid=(b, o),
+                in_specs=[
+                    pl.BlockSpec((1, r, ndg, n), lambda bb, oo: (bb, 0, 0, 0)),
+                    pl.BlockSpec((1, 1, r, j_cnt, two_n),
+                                 lambda bb, oo: (bb, oo, 0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, 1, 2, g, n),
+                                       lambda bb, oo: (bb, oo, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
+                scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
+                interpret=interpret,
+            )(dig, ext)
+        else:
+            out = pl.pallas_call(
+                kern,
+                grid=(b,),
+                in_specs=[
+                    pl.BlockSpec((1, r, ndg, n), lambda bb: (bb, 0, 0, 0)),
+                    pl.BlockSpec((1, o, r, j_cnt, two_n),
+                                 lambda bb: (bb, 0, 0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, o, 2, g, n),
+                                       lambda bb: (bb, 0, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
+                scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
+                interpret=interpret,
+            )(dig, ext)
     return out
 
 
