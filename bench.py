@@ -12,7 +12,12 @@ for tfhe-rs WoP-PBS AES-128 implementations of this bounty generation on a
 multi-core CPU. BASELINE.md ("Provenance of the 1× mark") documents the
 sources and the uncertainty; the JSON labels it via the "baseline" field.
 
-Env knobs: BENCH_BLOCKS (default 8 = one 1024-lane batch tile, the measured throughput sweet spot: 4->0.589, 8->0.600, 16->0.565 blocks/s), BENCH_PARAMS (lvl64|test), BENCH_ROUNDS.
+Env knobs: BENCH_BLOCKS (default 8 = one 1024-lane batch tile, the measured
+throughput sweet spot), BENCH_PARAMS (lvl64|test), BENCH_ROUNDS, BENCH_REPS,
+BENCH_COMPRESS (default 16: the timed region includes server-side output
+compression to q'=2^16 and the client verifies the compressed response —
+the serving configuration; 0 restores the raw big-key output for comparison
+with the pre-compression PERF.md rows).
 """
 
 from __future__ import annotations
@@ -121,7 +126,6 @@ def main() -> int:
     # verify correctness (10-round only)
     if rounds == 10:
         if compress:
-            from tfhe_aes2_tpu.ops import compression
             got = compression.decrypt_blocks_compressed(client, out, compress)
         else:
             got = fhe_encryption.decrypt_blocks(client, np.asarray(out))

@@ -237,6 +237,14 @@ def test_pallas_extprod_grouped_matches_matmul(monkeypatch):
         jnp.asarray(digits), ext_planes, bound))
     np.testing.assert_array_equal(got, expect)
 
+    # the per-component-cell variant (TFHE_VP_CELLS=o, grid (B, O)) of the
+    # fused kernel — a static jit arg, so the env toggle retraces
+    monkeypatch.setenv("TFHE_VP_CELLS", "o")
+    got_po = np.asarray(extprod.polymul_digits_pallas_grouped(
+        jnp.asarray(digits), ext_planes, bound))
+    np.testing.assert_array_equal(got_po, expect)
+    monkeypatch.delenv("TFHE_VP_CELLS")
+
     # the legacy per-(lane, o, r) kernel + XLA recombine (TFHE_VP_FUSED=0)
     # must stay bit-identical to the fused default
     monkeypatch.setenv("TFHE_VP_FUSED", "0")

@@ -1080,14 +1080,20 @@ def _kernel_grouped_fused(n_d: int, g: int, n: int, r_cnt: int, o_cnt: int,
         out_ref[0, o, 1] = hi
 
 
-@functools.partial(jax.jit, static_argnames=("n_d", "interpret", "j_start"))
+@functools.partial(jax.jit, static_argnames=("n_d", "interpret", "j_start",
+                                              "per_o"))
 def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
-                          j_start: int = 0):
+                          j_start: int = 0, per_o: bool = False):
     """Per-lane-kernel external product with fused u64 recombination.
 
     dig: int8 [B, R, n_d·G, N] (lane b's digit limb planes, rows r);
     ext: int8 [B, O, R, 8-j_start, 2N] (lane b's GGSW row limb planes)
     -> uint32 [B, O, 2, G, N] ((lo, hi) pairs; caller combines to u64).
+
+    per_o runs one component per grid cell (grid (B, O)); the default merges
+    all components into one cell per lane (grid (B,)) — 5x fewer grid cells
+    at identical work (measured 53.3 vs 58.5 ms/VP-stage). Static arg: the
+    caller reads the TFHE_VP_CELLS env OUTSIDE the jit so toggling retraces.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -1099,46 +1105,31 @@ def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
     from jax.experimental.pallas import tpu as pltpu
 
     g = ndg // n_d
-
-    # TFHE_VP_CELLS=o runs one component per cell (grid (B, O)); the default
-    # merges all components into one cell per lane (grid (B,)) — 5x fewer
-    # grid cells at identical work
-    import os
-    per_o = os.environ.get("TFHE_VP_CELLS", "b") == "o"
     o_cell = 1 if per_o else o
+    grid = (b, o) if per_o else (b,)
+
+    def idx(*block_o):
+        # index-map factory: per_o cells address (bb, oo); merged cells (bb)
+        if per_o:
+            return lambda bb, oo: (bb,) + tuple(oo if x == "o" else 0
+                                                for x in block_o)
+        return lambda bb: (bb,) + (0,) * len(block_o)
+
     kern = functools.partial(_kernel_grouped_fused, n_d, g, n, r, o_cell,
                              j_start)
     with jax.enable_x64(False):
-        if per_o:
-            out = pl.pallas_call(
-                kern,
-                grid=(b, o),
-                in_specs=[
-                    pl.BlockSpec((1, r, ndg, n), lambda bb, oo: (bb, 0, 0, 0)),
-                    pl.BlockSpec((1, 1, r, j_cnt, two_n),
-                                 lambda bb, oo: (bb, oo, 0, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, 1, 2, g, n),
-                                       lambda bb, oo: (bb, oo, 0, 0, 0)),
-                out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
-                scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
-                interpret=interpret,
-            )(dig, ext)
-        else:
-            out = pl.pallas_call(
-                kern,
-                grid=(b,),
-                in_specs=[
-                    pl.BlockSpec((1, r, ndg, n), lambda bb: (bb, 0, 0, 0)),
-                    pl.BlockSpec((1, o, r, j_cnt, two_n),
-                                 lambda bb: (bb, 0, 0, 0, 0)),
-                ],
-                out_specs=pl.BlockSpec((1, o, 2, g, n),
-                                       lambda bb: (bb, 0, 0, 0, 0)),
-                out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
-                scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
-                interpret=interpret,
-            )(dig, ext)
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, r, ndg, n), idx(0, 0, 0)),
+                pl.BlockSpec((1, o_cell, r, j_cnt, two_n), idx("o", 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, o_cell, 2, g, n), idx("o", 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
+            interpret=interpret,
+        )(dig, ext)
     return out
 
 
@@ -1170,8 +1161,11 @@ def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int,
         dig = jnp.transpose(d_planes, (1, 3, 0, 2, 4)).reshape(
             (b, r, n_d * g, n))
         ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))
-        # [B, O, R, 8-js, 2N]
-        pair = extprod_grouped_fused(dig, ext, n_d=n_d, j_start=j_start)
+        # [B, O, R, 8-js, 2N]; TFHE_VP_CELLS read here (outside the jit) and
+        # threaded as a static arg so toggling it retraces
+        pair = extprod_grouped_fused(
+            dig, ext, n_d=n_d, j_start=j_start,
+            per_o=os.environ.get("TFHE_VP_CELLS", "b") == "o")
         out = (pair[:, :, 0].astype(jnp.uint64)
                | (pair[:, :, 1].astype(jnp.uint64) << jnp.uint64(32)))
         return jnp.transpose(out, (0, 2, 1, 3))               # [B, G, O, N]
