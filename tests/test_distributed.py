@@ -20,7 +20,8 @@ sys.path.insert(0, {repo!r})
 from tfhe_aes2_tpu.parallel.distributed import main
 sys.exit(main(["--coordinator", "127.0.0.1:{port}",
                "--num-processes", "2", "--process-id", sys.argv[1],
-               "--params", "test", "--rounds", "1"]))
+               "--params", "test", "--rounds", "1",
+               "--layout", {layout!r}]))
 """
 
 
@@ -32,10 +33,16 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cpu_distributed():
-    # bounded by communicate(timeout=540) below — no pytest-timeout needed
+import pytest
+
+
+@pytest.mark.parametrize("layout", ["dp", "lane"])
+def test_two_process_cpu_distributed(layout):
+    # dp: blocks over (host, chip) flattened; lane: blocks over 'host' and
+    # the 16-byte AES axis over the 4 local 'chip' devices (the composed
+    # throughput x latency mapping). Bounded by communicate(timeout=540).
     port = _free_port()
-    code = _WORKER.format(repo=REPO, port=port)
+    code = _WORKER.format(repo=REPO, port=port, layout=layout)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # conftest's 8-device count would override
     procs = [subprocess.Popen([sys.executable, "-c", code, str(pid)],

@@ -59,9 +59,18 @@ def make_host_chip_mesh():
 
 
 def run_demo(params_name: str = "test", rounds: int = 1,
-             blocks_per_device: int = 1, seed: int = 3) -> None:
+             blocks_per_device: int = 1, seed: int = 3,
+             layout: str = "dp") -> None:
     """One sharded FHE AES step across all processes; every process verifies
-    its local output shards. Raises on mismatch."""
+    its local output shards. Raises on mismatch.
+
+    layout:
+      dp    — blocks shard over (host, chip) flattened (pure throughput DP).
+      lane  — blocks shard over 'host' (DCN) and the 16-byte AES axis over
+              'chip' (ICI): each chip runs a fraction of every local block's
+              GGSW bootstraps — the composed throughput x latency mapping
+              (SURVEY §2.4; intra-block collectives stay on ICI).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -79,7 +88,13 @@ def run_demo(params_name: str = "test", rounds: int = 1,
             "lvl64": params_mod.PARAMS_SQRD_LVL_64}[params_name]
     mesh = make_host_chip_mesh()
     n_dev = len(jax.devices())
-    n_blocks = n_dev * blocks_per_device
+    n_local_dev = len(jax.local_devices())
+    if layout == "lane":
+        assert 16 % n_local_dev == 0, \
+            f"lane layout needs the {n_local_dev} local chips to divide 16"
+        n_blocks = jax.process_count() * blocks_per_device
+    else:
+        n_blocks = n_dev * blocks_per_device
     pid = jax.process_index()
 
     # deterministic client + server keys on every process (in a real
@@ -94,9 +109,9 @@ def run_demo(params_name: str = "test", rounds: int = 1,
     ks_ct = fhe_encryption.encrypt_word_array(client, plain.key_schedule(key))
     block_cts = np.asarray(fhe_encryption.encrypt_blocks(client, blocks))
 
-    # global arrays: blocks sharded over (host, chip) flattened, rest
-    # replicated
-    blocks_spec = P(("host", "chip"))
+    # global arrays: blocks sharded per the layout, rest replicated
+    blocks_spec = (P("host", "chip") if layout == "lane"
+                   else P(("host", "chip")))
     n_local_blocks = n_blocks // jax.process_count()
     local = block_cts[pid * n_local_blocks: (pid + 1) * n_local_blocks]
     blocks_global = multihost_utils.host_local_array_to_global_array(
@@ -118,17 +133,23 @@ def run_demo(params_name: str = "test", rounds: int = 1,
     out = fn(sks_global, ks_global, blocks_global)
     out.block_until_ready()
 
-    # verify the local shards only (no cross-host gather needed)
+    # verify the local shards only (no cross-host gather needed); lane-layout
+    # shards cover a byte SLICE of each block, so compare at byte granularity
     expect = plain.expand_key_and_encrypt_blocks(key, blocks, rounds)
     for shard in out.addressable_shards:
-        start = shard.index[0].start or 0
-        rows = np.asarray(shard.data)
-        got = fhe_encryption.decrypt_blocks(client, rows)
-        want = expect[start: start + rows.shape[0]]
-        assert got == want, f"process {pid} shard @{start} mismatch"
+        b0 = shard.index[0].start or 0
+        c0 = shard.index[1].start or 0
+        rows = np.asarray(shard.data)                    # [bs, byts, 8, n1]
+        bits = client.decrypt_bits(rows)                 # [bs, byts, 8]
+        got = np.packbits(bits.astype(np.uint8), axis=-1)[..., 0]
+        for i in range(got.shape[0]):
+            want = np.frombuffer(expect[b0 + i], np.uint8)[
+                c0: c0 + got.shape[1]]
+            assert (got[i] == want).all(), \
+                f"process {pid} shard @({b0 + i},{c0}) mismatch"
     print(f"ok: process {pid} verified {n_local_blocks} local blocks over "
-          f"{jax.process_count()} hosts x {len(jax.local_devices())} chips",
-          flush=True)
+          f"{jax.process_count()} hosts x {len(jax.local_devices())} chips "
+          f"(layout={layout})", flush=True)
 
 
 def main(argv=None) -> int:
@@ -141,10 +162,13 @@ def main(argv=None) -> int:
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--blocks-per-device", type=int, default=1)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--layout", type=str, default="dp",
+                    choices=["dp", "lane"])
     args = ap.parse_args(argv)
 
     initialize(args.coordinator, args.num_processes, args.process_id)
-    run_demo(args.params, args.rounds, args.blocks_per_device, args.seed)
+    run_demo(args.params, args.rounds, args.blocks_per_device, args.seed,
+             args.layout)
     return 0
 
 
