@@ -34,7 +34,8 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
                                    block_count: int,
                                    strategy=fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt,
                                    verify: bool = True, rounds: int = 10,
-                                   compress_log2q: int | None = None):
+                                   compress_log2q: int | None = None,
+                                   fhe_counter: bool = False):
     """Returns (decrypted blocks, timings dict).
 
     rounds < 10 is a development mode (not in the reference CLI): the result
@@ -46,11 +47,23 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
     q' = 2^log2q before transport — a ~12x / ~6x smaller response than the
     raw big-key ciphertexts (ops/compression.py; beyond the reference, whose
     client/server split is in-process so transfer is free).
+
+    fhe_counter (woppbs_1bit strategies only): the client uploads only the
+    FIRST encrypted iv‖ctr block; the server derives the remaining
+    block_count-1 blocks by homomorphic counter increments (aes_128/ctr_fhe)
+    before running AES. The reference keeps the counter client-side
+    (main.rs:108-115) and has the increment adder only in tests
+    (shortint_woppbs_1bit.rs:833-877).
     """
+    if fhe_counter and not isinstance(ctx, FheContext):
+        raise ValueError("--fhe-counter needs a shortint_woppbs_1bit context "
+                         "(the homomorphic increment adder runs on its "
+                         "circuit bootstrap)")
     # Client side: FHE encrypt AES key and CTR blocks
     key_ct = strategy.encrypt_key_client(client, key_clear)
     blocks_clear = ctr_blocks(iv, block_count)
-    block_cts = strategy.encrypt_client(client, blocks_clear)
+    block_cts = strategy.encrypt_client(
+        client, blocks_clear[:1] if fhe_counter else blocks_clear)
     log.info("aes key and blocks fhe encrypted")
 
     # Server side: key expansion (timed separately, main.rs:130-139)
@@ -60,10 +73,23 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
     t_expand = time.time() - t0
     print(f"AES key expansion took: {t_expand:.3f}s")
 
+    # Server side: derive the CTR keystream homomorphically (fhe_counter)
+    blocks_arr = jnp.asarray(block_cts)
+    t_derive = 0.0
+    if fhe_counter:
+        from tfhe_aes2_tpu.aes_128 import ctr_fhe
+        t0 = time.time()
+        blocks_arr = ctr_fhe.derive_ctr_blocks_staged(ctx, blocks_arr[0],
+                                                      block_count)
+        blocks_arr.block_until_ready()
+        t_derive = time.time() - t0
+        print(f"CTR keystream of #{block_count} blocks derived "
+              f"homomorphically in: {t_derive:.3f}s")
+
     # Server side: block encryption (main.rs:141-159)
     t0 = time.time()
     out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks,
-                                        jnp.asarray(block_cts), rounds)
+                                        blocks_arr, rounds)
     out.array.block_until_ready()
     t_blocks = time.time() - t0
     out = out.array
@@ -97,4 +123,5 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
             oracle = f"plain {rounds}-round oracle"
         assert decrypted == expect, f"FHE AES output mismatch vs {oracle}"
     return decrypted, {"key_expansion_s": t_expand, "blocks_s": t_blocks,
-                       "blocks_per_s": block_count / t_blocks}
+                       "blocks_per_s": block_count / t_blocks,
+                       "ctr_derive_s": t_derive}

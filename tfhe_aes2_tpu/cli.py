@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                     help="compress the server response to small-key cts at "
                          "modulus 2^N before transport (~12x/6x smaller; "
                          "woppbs-1bit only — ops/compression.py)")
+    ap.add_argument("--fhe-counter", action="store_true",
+                    help="upload only the first encrypted iv‖ctr block; the "
+                         "server derives the rest by homomorphic counter "
+                         "increments (woppbs-1bit only — aes_128/ctr_fhe.py)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=args.log_level,
@@ -52,6 +56,9 @@ def main(argv=None) -> int:
             and args.implementation != "shortint-woppbs-1bit"):
         ap.error("--compress-output needs the shortint-woppbs-1bit model "
                  "(big-key output bits)")
+    if args.fhe_counter and args.implementation != "shortint-woppbs-1bit":
+        ap.error("--fhe-counter needs the shortint-woppbs-1bit model (the "
+                 "increment adder runs on its circuit bootstrap)")
 
     from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
     from tfhe_aes2_tpu.aes_128.scenario import run_client_server_aes_scenario
@@ -88,7 +95,8 @@ def main(argv=None) -> int:
 
     run_client_server_aes_scenario(client, ctx, key, iv, args.number_of_outputs,
                                    strategy=strategy, rounds=args.rounds,
-                                   compress_log2q=args.compress_output)
+                                   compress_log2q=args.compress_output,
+                                   fhe_counter=args.fhe_counter)
     oracle = ("AES authority" if args.rounds == 10
               else f"plain {args.rounds}-round oracle")
     print(f"ok: FHE keystream verified against {oracle}")
