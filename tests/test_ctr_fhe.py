@@ -6,6 +6,7 @@ from ONE uploaded block, then run AES over the derived batch."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tfhe_aes2_tpu.aes_128 import ctr_fhe, fhe as fhe_mod, fhe_encryption, plain
 from tfhe_aes2_tpu.aes_128.scenario import ctr_blocks
@@ -60,3 +61,14 @@ def test_aes_light_on_derived_blocks(keys_test_n256):
     out = np.asarray(fn(ctx.sks, jnp.asarray(ks_ct), blocks_arr))
     got = fhe_encryption.decrypt_blocks(client, out)
     assert got == plain.expand_key_and_encrypt_blocks(key, blocks_clear, 2)
+
+
+@pytest.mark.slow
+def test_cli_fhe_counter_scenario():
+    """The user-facing path: CLI --fhe-counter through the full scenario
+    (FHE key schedule + server-derived keystream), vs the plain oracle."""
+    from tfhe_aes2_tpu import cli
+    rc = cli.main(["--key", "76b8e0ada0f13d90405d6ae55386bd28",
+                   "--iv", "bdd219b8a08ded1a", "--number-of-outputs", "2",
+                   "--params", "test", "--rounds", "2", "--fhe-counter"])
+    assert rc == 0
