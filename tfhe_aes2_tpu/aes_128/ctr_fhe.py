@@ -94,3 +94,30 @@ def derive_ctr_blocks_staged(ctx: FheContext, block0_arr, count: int,
     for _ in range(count - 1):
         arrays.append(fn(ctx.sks, arrays[-1], lut))
     return jnp.stack(arrays)
+
+
+def derived_blocks_meta(ctx: FheContext, block0_arr, count: int,
+                        counter_bytes: int = 8):
+    """Conservative per-lane metadata for a derive_ctr_blocks* batch.
+
+    A BitCt tracks ONE metadata slot per lane shared across the batch axis
+    (models/shortint_woppbs_1bit.BitCt); the derived blocks differ per batch
+    entry (block 0 is fresh, later counters carry 9-bit-adder bootstrap
+    noise), so this shadow-traces the increment chain and takes the per-lane
+    MAX noise over the batch — sound for the budget check — with one fresh
+    id per lane (every block's bits are independent fresh encryptions or
+    bootstrap outputs, so a single id represents the iid batch, the same
+    convention the whole-program path uses for fresh batches)."""
+    from tfhe_aes2_tpu.aes_128.fhe import _shadow_bitct
+
+    lut = increment_lut(ctx)
+    cur = fresh_bitct(jnp.asarray(block0_arr), ctx, lane_ndim=2)
+    noise = cur.noise_sq.copy()
+    for _ in range(count - 1):
+        meta = _shadow_bitct(
+            ctx, lambda mctx, b: increment_block(mctx, b, lut, counter_bytes),
+            [cur])
+        cur = BitCt(cur.array, meta[0], meta[1], ctx)
+        noise = np.maximum(noise, meta[0])
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import _fresh_ids
+    return noise, _fresh_ids(noise.shape)

@@ -12,11 +12,14 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tfhe_aes2_tpu.aes_128 import sbox_gal_mul_pbs, sbox_pbs
 from tfhe_aes2_tpu.models import shortint_woppbs_1bit as m1
-from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext, fresh_bitct
+from tfhe_aes2_tpu.models.shortint_woppbs_1bit import (
+    BitCt, FheContext, fresh_bitct, meta_context)
+from tfhe_aes2_tpu.ops.torus import U64
 
 
 class ShortintWoppbs1BitSboxGalMulPbsAesEncrypt:
@@ -230,6 +233,51 @@ def _kernel(ctx, key, make):
     return cache[key]
 
 
+def _shadow_bitct(ctx, build, in_cts):
+    """TRUE-metadata shadow of one staged program.
+
+    Abstract-evals `build` (meta_ctx, *BitCts -> BitCt) under jax.eval_shape
+    with the incoming metadata attached; the meta context stubs the heavy
+    bootstraps (models/shortint_woppbs_1bit.meta_context), so only the
+    metadata transform — the noise-budget validation and the component
+    independence check of every XOR (shortint_woppbs_1bit.rs:63-78,134-142)
+    — actually executes, at trace cost (no compile, no device work).
+    Returns (noise_sq, comps) of the output; raises NoiseError BEFORE the
+    compiled program would dispatch, like the reference's eager panic."""
+    mctx = meta_context(ctx)
+    captured = {}
+
+    def f(*arrs):
+        cts = [BitCt(a, c.noise_sq, c.comps, mctx)
+               for c, a in zip(in_cts, arrs)]
+        out = build(mctx, *cts)
+        captured["meta"] = (out.noise_sq, out.comps)
+        return out.array
+
+    jax.eval_shape(f, *[jax.ShapeDtypeStruct(jnp.shape(c.array), U64)
+                        for c in in_cts])
+    return captured["meta"]
+
+
+def whole_program_meta(strategy, ctx, key_ct, blocks_ct, rounds: int):
+    """Metadata of the FULL single-program path (FHE key schedule + rounds),
+    shadow-traced — the comparison authority for the staged path's threaded
+    metadata (tests/test_staged_meta.py)."""
+    def build(mctx, key, blocks):
+        kw = _pipeline_kwargs(strategy, mctx)
+        eks = strategy.pipeline.key_schedule(mctx, key, **kw)
+        return strategy.pipeline.encrypt_block_for_rounds(
+            mctx, eks, blocks, rounds, **kw)
+
+    return _shadow_bitct(ctx, build, [key_ct, blocks_ct])
+
+
+def _tracks_meta(ctx) -> bool:
+    """Staged metadata threading runs on the production model's context (the
+    other models keep their own schemes and fall back to fresh wraps)."""
+    return isinstance(ctx, FheContext) and not ctx.meta_only
+
+
 def _staged_round(strategy, params, final, sks, state_arr, key_arr):
     ctx = strategy.make_context(params, sks)
     state = strategy.fresh(state_arr, ctx, lane_ndim=2)
@@ -257,8 +305,13 @@ def _staged_ks_group(strategy, params, sks, base_arr, rc_bits):
 
 def key_schedule_staged(strategy, ctx, key_arr):
     """FHE key expansion via one reused compiled group kernel (10 sequential
-    dispatches of 4-word groups)."""
-    import jax.numpy as jnp
+    dispatches of 4-word groups).
+
+    On the production model the TRUE noise metadata is threaded across the
+    program boundaries by shadow-tracing each group (_shadow_bitct), so the
+    served path runs the same always-on accounting as the whole-program jit
+    (reference shortint_woppbs_1bit.rs:134-142) and the returned BitCt
+    carries the real per-word metadata into the rounds."""
     import numpy as np_
     from tfhe_aes2_tpu.aes_128 import RC
 
@@ -269,11 +322,27 @@ def key_schedule_staged(strategy, ctx, key_arr):
         partial(_staged_ks_group, strategy, params)))
 
     key_arr = jnp.asarray(key_arr)
+    track = _tracks_meta(ctx)
     groups = [key_arr.reshape((4, 4) + key_arr.shape[1:])]
+    if track:
+        first = fresh_bitct(groups[0], ctx, lane_ndim=3)
+        metas = [(first.noise_sq, first.comps)]
     for g in range(1, 11):
-        rc_bits = jnp.asarray(np_.unpackbits(np_.array([RC[g]], np_.uint8)))
-        groups.append(group_fn(ctx.sks, groups[-1], rc_bits))
+        rc_np = np_.unpackbits(np_.array([RC[g]], np_.uint8))
+        if track:
+            def build(mctx, base, rc_np=rc_np):
+                prev = base.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
+                rc = mctx.trivial_bits(rc_np)
+                return strategy.pipeline.key_schedule_group(mctx, base, prev,
+                                                            rc)
+            metas.append(_shadow_bitct(
+                ctx, build, [BitCt(groups[-1], *metas[-1], ctx)]))
+        groups.append(group_fn(ctx.sks, groups[-1], jnp.asarray(rc_np)))
     eks_arr = jnp.concatenate(groups, axis=0)
+    if track:
+        return BitCt(eks_arr,
+                     np.concatenate([m[0] for m in metas], axis=0),
+                     np.concatenate([m[1] for m in metas], axis=0), ctx)
     return strategy.fresh(eks_arr, ctx, lane_ndim=3)
 
 
@@ -298,26 +367,65 @@ def _staged_rounds_scan(strategy, params, sks, state_arr, kgs_arr):
     return out
 
 
-def encrypt_blocks_staged(strategy, ctx, eks, blocks_arr, rounds: int):
+def encrypt_blocks_staged(strategy, ctx, eks, blocks_arr, rounds: int,
+                          blocks_meta=None):
     """AES rounds via two reused compiled kernels: one scan program covering
-    all middle rounds + the final round program."""
-    import jax.numpy as jnp
+    all middle rounds + the final round program.
 
+    On the production model the noise metadata is carried ACROSS the
+    compiled-program boundaries: the first AddRoundKey runs as a real BitCt
+    XOR (the same eager device add as before, plus the reference's always-on
+    checks), every round is shadow-traced with its true incoming metadata
+    before its program dispatches, and the returned BitCt carries the true
+    end-to-end metadata — the served path validates exactly what the
+    whole-program jit validates (shortint_woppbs_1bit.rs:134-142).
+
+    blocks_meta: optional (noise_sq, comps) for non-fresh input blocks (the
+    homomorphically derived CTR batch, aes_128/ctr_fhe.derived_blocks_meta)."""
     params = ctx.params
+    blocks_arr = jnp.asarray(blocks_arr)
     fin_fn = _kernel(ctx, ("round_fin", jnp.shape(blocks_arr)), lambda: jax.jit(
         partial(_staged_round, strategy, params, True)))
 
-    eks_arr = eks.array if hasattr(eks, "array") else jnp.asarray(eks)
+    track = _tracks_meta(ctx)
+    if track:
+        if not isinstance(eks, BitCt):
+            eks = fresh_bitct(jnp.asarray(eks), ctx, lane_ndim=3)
+        eks_arr = eks.array
+        kg_ct = lambda i: eks.slice_lanes(slice(4 * i, 4 * i + 4),
+                                          axis=0).reshape_lanes(16, 8)
+        blocks_ct = (BitCt(blocks_arr, blocks_meta[0], blocks_meta[1], ctx)
+                     if blocks_meta is not None
+                     else fresh_bitct(blocks_arr, ctx, lane_ndim=2))
+        state_ct = blocks_ct ^ kg_ct(0)  # AddRoundKey (one eager add + checks)
+        state, meta = state_ct.array, (state_ct.noise_sq, state_ct.comps)
+    else:
+        eks_arr = eks.array if hasattr(eks, "array") else jnp.asarray(eks)
+        state = blocks_arr + eks_arr[0:4].reshape((16, 8) + eks_arr.shape[-1:])
     kg = lambda i: eks_arr[4 * i: 4 * i + 4].reshape((16, 8) + eks_arr.shape[-1:])
 
-    state = jnp.asarray(blocks_arr) + kg(0)  # AddRoundKey (one eager add)
+    def round_build(final):
+        fn = (strategy.pipeline.final_round if final
+              else strategy.pipeline.middle_round)
+        return lambda mctx, s, kgc: fn(mctx, s, kgc,
+                                       **_pipeline_kwargs(strategy, mctx))
+
     if rounds > 1:
         mids_fn = _kernel(
             ctx, ("rounds_scan", jnp.shape(blocks_arr), rounds),
             lambda: jax.jit(partial(_staged_rounds_scan, strategy, params)))
         kgs = jnp.stack([kg(i) for i in range(1, rounds)])
+        if track:
+            for i in range(1, rounds):
+                meta = _shadow_bitct(ctx, round_build(False),
+                                     [BitCt(state, *meta, ctx), kg_ct(i)])
         state = mids_fn(ctx.sks, state, kgs)
+    if track:
+        meta = _shadow_bitct(ctx, round_build(True),
+                             [BitCt(state, *meta, ctx), kg_ct(10)])
     state = fin_fn(ctx.sks, state, kg(10))
+    if track:
+        return BitCt(state, *meta, ctx)
     return strategy.fresh(state, ctx, lane_ndim=2)
 
 

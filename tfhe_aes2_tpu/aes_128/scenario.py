@@ -75,21 +75,26 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
 
     # Server side: derive the CTR keystream homomorphically (fhe_counter)
     blocks_arr = jnp.asarray(block_cts)
+    blocks_meta = None
     t_derive = 0.0
     if fhe_counter:
         from tfhe_aes2_tpu.aes_128 import ctr_fhe
         t0 = time.time()
-        blocks_arr = ctr_fhe.derive_ctr_blocks_staged(ctx, blocks_arr[0],
-                                                      block_count)
+        block0 = blocks_arr[0]
+        blocks_arr = ctr_fhe.derive_ctr_blocks_staged(ctx, block0, block_count)
         blocks_arr.block_until_ready()
         t_derive = time.time() - t0
+        # derived blocks are NOT fresh (adder-bootstrap noise on the counter
+        # bits); thread their true conservative metadata into the rounds
+        blocks_meta = ctr_fhe.derived_blocks_meta(ctx, block0, block_count)
         print(f"CTR keystream of #{block_count} blocks derived "
               f"homomorphically in: {t_derive:.3f}s")
 
     # Server side: block encryption (main.rs:141-159)
     t0 = time.time()
     out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks,
-                                        blocks_arr, rounds)
+                                        blocks_arr, rounds,
+                                        blocks_meta=blocks_meta)
     out.array.block_until_ready()
     t_blocks = time.time() - t0
     out = out.array

@@ -75,6 +75,8 @@ class FheContext:
 
     params: WopbsParams
     sks: keys_mod.ServerKeySet  # device arrays (or tracers inside jit)
+    meta_only: bool = False     # shadow mode: circuit_bootstrap emits a stub
+                                # array but REAL metadata (see meta_context)
 
     def __post_init__(self):
         self._cbs_kernel_cache = {}
@@ -102,7 +104,12 @@ class FheContext:
         """
         t = bits.array.shape[-2]
         o = lut.shape[0]
-        if isinstance(bits.array, jax.core.Tracer):
+        if self.meta_only:
+            # shadow evaluation: the metadata transform is what matters, the
+            # array is a stub of the right shape (traced under eval_shape)
+            out = jnp.zeros(bits.array.shape[:-2] + (o,) + bits.array.shape[-1:],
+                            U64)
+        elif isinstance(bits.array, jax.core.Tracer):
             out = cbs_ops.circuit_bootstrap_vertical_packing(
                 bits.array, jnp.asarray(lut), self.sks, self.params)
         else:
@@ -204,6 +211,15 @@ class BitCt:
                    np.concatenate([p.noise_sq for p in parts], axis=axis),
                    np.concatenate([p.comps for p in parts], axis=axis),
                    parts[0].context)
+
+
+def meta_context(ctx: FheContext) -> FheContext:
+    """Shadow context: same parameters, no keys; circuit_bootstrap emits stub
+    arrays but real metadata. The staged execution path (aes_128/fhe.py) uses
+    it to run the reference's always-on noise accounting — variance budget +
+    component independence (shortint_woppbs_1bit.rs:63-78,134-142) — across
+    compiled-program boundaries at trace cost."""
+    return FheContext(params=ctx.params, sks=None, meta_only=True)
 
 
 def fresh_bitct(arrays, context: FheContext, lane_ndim: int | None = None) -> BitCt:
