@@ -22,6 +22,22 @@ from tfhe_aes2_tpu.ops.params import PARAMS_SQRD_LVL_64, PARAMS_TEST
 from tfhe_aes2_tpu.ops.torus import exact_matmul, split_u64_signed
 
 
+def test_value_truncation_matches_plane_drop():
+    """truncate_u64_values(x, js) == recombining split_u64_signed(x)[js:] —
+    the CPU noise-floor test (test_noise_floor.py) relies on this exact
+    equivalence to reproduce the TPU kernels' plane-dropping on the matmul
+    path."""
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 64, (64,), dtype=np.uint64)
+    x[:4] = [0, (1 << 64) - 1, 1 << 63, 0x8080808080808080]
+    for js in (0, 1, 2, 4, 5, 7):
+        planes = np.asarray(split_u64_signed(jnp.asarray(x)))
+        kept = sum((planes[i].astype(np.int64).astype(np.uint64)
+                    << np.uint64(8 * i)) for i in range(js, 8))
+        got = np.asarray(truncation.truncate_u64_values(jnp.asarray(x), js))
+        assert (got == kept).all(), js
+
+
 def test_production_criteria():
     """Pin the production truncation levels (documented in truncation.py).
 

@@ -75,6 +75,29 @@ _Q = 2.0 ** 64
 _SQRT12 = math.sqrt(12.0)
 
 
+def truncate_u64_values(x, js: int):
+    """Value-level equivalent of dropping balanced int8 limb planes 0..js-1.
+
+    With torus.split_u64_signed's balanced base-256 split, dropping planes
+    0..js-1 keeps Σ_{i>=js} p_i·2^(8i) = x - low where low = the balanced
+    residue ((x + off) mod 2^(8js)) - off, off = Σ_{i<js} 2^(8i+7). This
+    lets the CPU matmul path reproduce EXACTLY the arithmetic effect of the
+    TPU kernels' plane-dropping (the always-on noise-floor regression test,
+    tests/test_noise_floor.py); equivalence is pinned by
+    tests/test_truncation.py::test_value_truncation_matches_plane_drop."""
+    import jax.numpy as jnp
+
+    from tfhe_aes2_tpu.ops.torus import U64
+
+    x = jnp.asarray(x, U64)
+    if js <= 0:
+        return x
+    off = jnp.uint64(sum(1 << (8 * i + 7) for i in range(js)))
+    mask = jnp.uint64((1 << (8 * js)) - 1)
+    low = ((x + off) & mask) - off
+    return x - low
+
+
 def j_start_for_sigma(sigma: float, safety: float = 8.0,
                       key_amp: float = 1.0) -> int:
     """Largest js in [0, 7] with key-amplified truncation std
