@@ -190,6 +190,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
 
         import os as _os
         mstack2 = extprod.use_mstack2() if mode == "pallas" else False
+        ncs = extprod.use_nc_scratch() if mode == "pallas" else False
         if mode == "pallas":
             if prepared:
                 ext_or_all = jnp.asarray(bsk)  # [n, k1, R, 8-j_start, 2N]
@@ -253,7 +254,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                         dig, ext_or, acc_of,
                         t_nxt.reshape((batch_flat,)),
                         base_log=p.pbs_base_log, levels=p.pbs_level,
-                        j_start=j_start, mstack2=mstack2)
+                        j_start=j_start, mstack2=mstack2, nc_scratch=ncs)
                     return (acc_of, dig), None
 
                 # TFHE_BR_UNROLL: scan-body unrolling amortizes the XLA
@@ -299,7 +300,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                     p.pbs_base_log, p.pbs_level, n_d)
                 if step_kernel is extprod.extprod_step2:
                     return step_kernel(dig, ext_or, acc_of, j_start=j_start,
-                                       mstack2=mstack2), None
+                                       mstack2=mstack2, nc_scratch=ncs), None
                 return step_kernel(
                     dig, ext_or, acc_of, j_start=j_start), None
 

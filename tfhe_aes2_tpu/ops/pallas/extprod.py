@@ -50,6 +50,38 @@ def _nc_rows(ext_row, n: int):
     return m                                               # [N, 2N]
 
 
+def use_nc_scratch() -> bool:
+    """Build negacirculant ladders into a persistent VMEM scratch
+    (TFHE_NC_SCRATCH=0 disables). The value-level doubling chain of _nc_rows
+    re-materializes the ALREADY-BUILT half at every concat step (~2x the
+    final matrix written through temporaries); the scratch form writes each
+    row block once, with lane-aligned two-slice stores for the large steps.
+    Read OUTSIDE the jitted kernels and threaded as a static arg so toggling
+    retraces."""
+    import os
+    return os.environ.get("TFHE_NC_SCRATCH", "1") == "1"
+
+
+def _nc_rows_into(buf, ext_row, n: int):
+    """_nc_rows written into a VMEM scratch ref: buf[j] = rotate_right(ext, j)
+    for j in [0, N) — each doubling step stores only the NEW half (the value
+    chain re-copies the old half too). Steps >= one lane tile store two
+    lane-aligned column slices directly; smaller steps store a temp concat.
+    buf: ref [N, 2N] (int32 for packed ladders)."""
+    two_n = 2 * n
+    buf[0:1] = ext_row
+    size = 1
+    while size < n:
+        if size >= 128:
+            buf[size: 2 * size, 0: size] = buf[0: size, two_n - size: two_n]
+            buf[size: 2 * size, size: two_n] = buf[0: size, 0: two_n - size]
+        else:
+            src = buf[0: size]
+            buf[size: 2 * size] = jnp.concatenate(
+                [src[..., -size:], src[..., :-size]], axis=-1)
+        size *= 2
+
+
 def _kernel_grid(n_d: int, n: int, dig_ref, ext_ref, out_ref):
     """Grid (O, R) body. A small per-(o, r) program keeps the Mosaic
     compile tractable (a full unroll of all rotation ladders compiled in
@@ -126,7 +158,8 @@ def _add_carry(lo, hi, c_lo, c_hi):
 
 def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int, rg: int,
                        mstack2: bool,
-                       dig_ref, ext_ref, acc_ref, out_ref, part_ref):
+                       dig_ref, ext_ref, acc_ref, out_ref, part_ref,
+                       nc_ref=None):
     """Grid (BT, O, R) body with u64 recombination + CMux accumulate fused in.
 
     Per-(bt, o, r) partial sums accumulate in VMEM scratch; at the last r the
@@ -159,7 +192,7 @@ def _kernel_grid_fused(n_d: int, n: int, r_cnt: int, j_start: int, rg: int,
                      lambda jo, rr=rr: ext_ref[0, rr, jo: jo + 1, :],
                      part_ref,
                      dig_all=lambda rr=rr: dig_ref[rr].reshape(n_d * bt, n),
-                     mstack2=mstack2)
+                     mstack2=mstack2, nc_ref=nc_ref)
 
     @pl.when(r == r_cnt // rg - 1)
     def _fini():
@@ -181,7 +214,7 @@ def use_mstack2() -> bool:
 
 
 def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref,
-                 dig_all=None, mstack2: bool = False):
+                 dig_all=None, mstack2: bool = False, nc_ref=None):
     """The CMux dot core: negacirculants for 4 limb planes per rotation
     ladder — the planes of one (o, r) BSK polynomial share the rotation
     structure, so packing 4 int8 planes into int32 lanes runs one ladder
@@ -197,7 +230,7 @@ def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref,
     for j, ncm in _packed_nc_planes(
             n, [j for j in range(j_start, 8)
                 if any(i + j < 8 for i in range(n_d))],
-            lambda j: ext_at(j - j_start)):
+            lambda j: ext_at(j - j_start), nc_ref=nc_ref):
         if mstack2 and j + n_d - 1 < 8:
             c = jnp.dot(dig_all(), ncm, preferred_element_type=jnp.int32)
             part_ref[j: j + n_d] = (part_ref[j: j + n_d]
@@ -212,9 +245,11 @@ def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref,
             part_ref[s] = part_ref[s] + contrib
 
 
-def _packed_nc_planes(n: int, js_all, ext_row_at):
+def _packed_nc_planes(n: int, js_all, ext_row_at, nc_ref=None):
     """Yield (j, negacirculant[N, N] int8) for each plane j in js_all, built
-    4 planes per int32 rotation ladder (see _packed_dots docstring)."""
+    4 planes per int32 rotation ladder (see _packed_dots docstring).
+    With nc_ref (VMEM scratch [N, 2N] int32) the ladder is built in place —
+    each row block stored once instead of the value chain's ~2x rewrite."""
     for g in range(0, len(js_all), 4):
         js = js_all[g: g + 4]
         row = None
@@ -222,7 +257,11 @@ def _packed_nc_planes(n: int, js_all, ext_row_at):
             b8 = ext_row_at(j)
             word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
             row = word if row is None else row | word
-        packed = _nc_rows(row, n)[:, :n]                       # [N, N] int32
+        if nc_ref is not None:
+            _nc_rows_into(nc_ref, row, n)
+            packed = nc_ref[:, :n]                             # [N, N] int32
+        else:
+            packed = _nc_rows(row, n)[:, :n]                   # [N, N] int32
         for p_i, j in enumerate(js):
             yield j, ((packed << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
 
@@ -378,10 +417,12 @@ def _default_tile() -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "j_start",
-                                              "max_tile", "mstack2"))
+                                              "max_tile", "mstack2",
+                                              "nc_scratch"))
 def extprod_step2(dig_r_first, ext_or, acc,
                   interpret: bool | None = None, j_start: int = 0,
-                  max_tile: int | None = None, mstack2: bool = False):
+                  max_tile: int | None = None, mstack2: bool = False,
+                  nc_scratch: bool = False):
     """extprod_step on pre-transposed layouts: the whole-scan carry stays in
     the kernel-native [O, 2, B, N] accumulator layout, so a CMux step is
     exactly two pallas calls (rot_diff_digits + this) with no XLA glue.
@@ -416,6 +457,9 @@ def extprod_step2(dig_r_first, ext_or, acc,
         rg = 1
     kern = functools.partial(_kernel_grid_fused, n_d, n, r, j_start, rg,
                              mstack2)
+    scratch = [pltpu.VMEM((8, bt, n), jnp.int32)]
+    if nc_scratch:
+        scratch.append(pltpu.VMEM((n, two_n), jnp.int32))
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -430,7 +474,7 @@ def extprod_step2(dig_r_first, ext_or, acc,
             out_specs=pl.BlockSpec((1, 2, bt, n),
                                    lambda bb, oo, rc: (oo, 0, bb, 0)),
             out_shape=jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
-            scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
+            scratch_shapes=scratch,
             input_output_aliases={2: 0},
             interpret=interpret,
         )(dig_r_first, ext_or, acc)
@@ -440,7 +484,7 @@ def extprod_step2(dig_r_first, ext_or, acc,
 def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
                          base_log: int, levels: int, mstack2: bool,
                          t_ref, dig_ref, ext_ref, acc_ref,
-                         out_ref, dig_out_ref, part_ref):
+                         out_ref, dig_out_ref, part_ref, nc_ref=None):
     """_kernel_grid_fused with next-step glue fused into the finish: at
     r == R-1 the cell holds the NEW accumulator component o in VMEM, which is
     exactly the input of the next step's rotation/diff/decompose for rows
@@ -461,7 +505,7 @@ def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
                  lambda jo: ext_ref[0, 0, jo: jo + 1, :], part_ref,
                  dig_all=lambda: dig_ref[0, 0].reshape(
                      n_d * part_ref.shape[1], n),
-                 mstack2=mstack2)
+                 mstack2=mstack2, nc_ref=nc_ref)
 
     @pl.when(r == r_cnt - 1)
     def _fini():
@@ -476,10 +520,12 @@ def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "base_log", "levels", "interpret", "j_start", "max_tile", "mstack2"))
+    "base_log", "levels", "interpret", "j_start", "max_tile", "mstack2",
+    "nc_scratch"))
 def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
                    interpret: bool | None = None, j_start: int = 0,
-                   max_tile: int | None = None, mstack2: bool = False):
+                   max_tile: int | None = None, mstack2: bool = False,
+                   nc_scratch: bool = False):
     """One CMux step in ONE pallas call: extprod_step2 dots/recombine plus
     the NEXT step's rotation/diff/decompose glue fused into the finish.
 
@@ -509,6 +555,9 @@ def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
     t2 = t_next.reshape(b, 1).astype(jnp.int32)
     kern = functools.partial(_kernel_grid_fused_g, n_d, n, r, j_start,
                              base_log, levels, mstack2)
+    scratch = [pltpu.VMEM((8, bt, n), jnp.int32)]
+    if nc_scratch:
+        scratch.append(pltpu.VMEM((n, two_n), jnp.int32))
     with jax.enable_x64(False):
         new_acc, new_dig = pl.pallas_call(
             kern,
@@ -531,7 +580,7 @@ def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
                 jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
                 jax.ShapeDtypeStruct((k1, levels, n_d, b, n), jnp.int8),
             ],
-            scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32)],
+            scratch_shapes=scratch,
             input_output_aliases={3: 0},
             interpret=interpret,
         )(t2, dig, ext_or, acc)
@@ -1043,7 +1092,8 @@ def extprod_partials_grouped(digit_planes, ext_planes,
 
 
 def _kernel_grouped_fused(n_d: int, g: int, n: int, r_cnt: int, o_cnt: int,
-                          j_start: int, dig_ref, ext_ref, out_ref, part_ref):
+                          j_start: int, dig_ref, ext_ref, out_ref, part_ref,
+                          nc_ref=None):
     """Grid (B,) or (B, O) body: vertical-packing external product for one
     lane (o_cnt components per cell) with the u64 recombination fused in.
 
@@ -1065,7 +1115,8 @@ def _kernel_grouped_fused(n_d: int, g: int, n: int, r_cnt: int, o_cnt: int,
                     n, [j for j in range(j_start, 8)
                         if any(i + j < 8 for i in range(n_d))],
                     lambda j, r=r, o=o: ext_ref[0, o, r, j - j_start:
-                                                j - j_start + 1, :]):
+                                                j - j_start + 1, :],
+                    nc_ref=nc_ref):
                 contrib = jnp.dot(dig_ref[0, r], ncm,
                                   preferred_element_type=jnp.int32)
                 for i in range(n_d):
@@ -1081,9 +1132,10 @@ def _kernel_grouped_fused(n_d: int, g: int, n: int, r_cnt: int, o_cnt: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_d", "interpret", "j_start",
-                                              "per_o"))
+                                              "per_o", "nc_scratch"))
 def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
-                          j_start: int = 0, per_o: bool = False):
+                          j_start: int = 0, per_o: bool = False,
+                          nc_scratch: bool = False):
     """Per-lane-kernel external product with fused u64 recombination.
 
     dig: int8 [B, R, n_d·G, N] (lane b's digit limb planes, rows r);
@@ -1117,6 +1169,9 @@ def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
 
     kern = functools.partial(_kernel_grouped_fused, n_d, g, n, r, o_cell,
                              j_start)
+    scratch = [pltpu.VMEM((8, g, n), jnp.int32)]
+    if nc_scratch:
+        scratch.append(pltpu.VMEM((n, two_n), jnp.int32))
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -1127,7 +1182,7 @@ def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
             ],
             out_specs=pl.BlockSpec((1, o_cell, 2, g, n), idx("o", 0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((b, o, 2, g, n), jnp.uint32),
-            scratch_shapes=[pltpu.VMEM((8, g, n), jnp.int32)],
+            scratch_shapes=scratch,
             interpret=interpret,
         )(dig, ext)
     return out
@@ -1163,9 +1218,14 @@ def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int,
         ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))
         # [B, O, R, 8-js, 2N]; TFHE_VP_CELLS read here (outside the jit) and
         # threaded as a static arg so toggling it retraces
+        # nc scratch default OFF here: the VP cell builds 25 sequential
+        # ladders and the single shared buffer serializes them — measured
+        # vp 53.99 -> 57.57 ms/round ON (2026-08-20), while the CMux step
+        # kernel (2 ladders/cell, dot-bound) measured pbs 1003.7 -> 995.0 ON
         pair = extprod_grouped_fused(
             dig, ext, n_d=n_d, j_start=j_start,
-            per_o=os.environ.get("TFHE_VP_CELLS", "b") == "o")
+            per_o=os.environ.get("TFHE_VP_CELLS", "b") == "o",
+            nc_scratch=os.environ.get("TFHE_VP_NC_SCRATCH", "0") == "1")
         out = (pair[:, :, 0].astype(jnp.uint64)
                | (pair[:, :, 1].astype(jnp.uint64) << jnp.uint64(32)))
         return jnp.transpose(out, (0, 2, 1, 3))               # [B, G, O, N]
