@@ -288,9 +288,10 @@ def _staged_round(strategy, params, final, sks, state_arr, key_arr):
     return fn(ctx, state, key_group, **kw).array
 
 
-def _staged_ks_group(strategy, params, sks, base_arr, rc_bits):
-    """One key-schedule group (4 words) from the previous group: subword +
-    xors + one batched 128-lane identity bootstrap."""
+def _staged_ks_subxor(strategy, params, sks, base_arr, rc_bits):
+    """First half of one key-schedule group: RotWord/SubWord (32-lane cbs) +
+    the XOR chain — compiled SEPARATELY from the boot half (the combined
+    two-blind-rotate program compiles ~3x slower than its halves; probe15)."""
     import numpy as _np
     from tfhe_aes2_tpu.ops import lwe as lwe_ops
     from tfhe_aes2_tpu.models.shortint_woppbs_1bit import _empty_ids
@@ -300,7 +301,15 @@ def _staged_ks_group(strategy, params, sks, base_arr, rc_bits):
     prev = base.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
     rc_arr = lwe_ops.trivial_bits(rc_bits, base.array.shape[-1] - 1)
     rc = type(base)(rc_arr, _np.zeros((8,), _np.int64), _empty_ids((8,)), ctx)
-    return strategy.pipeline.key_schedule_group(ctx, base, prev, rc).array
+    return strategy.pipeline.key_schedule_group_preboot(ctx, base, prev,
+                                                        rc).array
+
+
+def _staged_ks_boot(strategy, params, sks, group_arr):
+    """Second half: the 128-lane identity noise-reset bootstrap."""
+    ctx = strategy.make_context(params, sks)
+    group = strategy.fresh(group_arr, ctx, lane_ndim=3)
+    return strategy.pipeline.boot_word(ctx, group).array
 
 
 def key_schedule_staged(strategy, ctx, key_arr):
@@ -316,10 +325,15 @@ def key_schedule_staged(strategy, ctx, key_arr):
     from tfhe_aes2_tpu.aes_128 import RC
 
     params = ctx.params
-    if not hasattr(strategy.pipeline, "key_schedule_group"):
+    if not hasattr(strategy.pipeline, "key_schedule_group_preboot"):
         return key_schedule_eager(strategy, ctx, key_arr)
-    group_fn = _kernel(ctx, "ks_group", lambda: jax.jit(
-        partial(_staged_ks_group, strategy, params)))
+    # two programs per group, split at the boot (probe15: the combined
+    # two-blind-rotate program compiles ~3x slower than its halves and was
+    # the dominant cold-start item)
+    sub_fn = _kernel(ctx, "ks_subxor", lambda: jax.jit(
+        partial(_staged_ks_subxor, strategy, params)))
+    boot_fn = _kernel(ctx, "ks_boot", lambda: jax.jit(
+        partial(_staged_ks_boot, strategy, params)))
 
     key_arr = jnp.asarray(key_arr)
     track = _tracks_meta(ctx)
@@ -337,7 +351,8 @@ def key_schedule_staged(strategy, ctx, key_arr):
                                                             rc)
             metas.append(_shadow_bitct(
                 ctx, build, [BitCt(groups[-1], *metas[-1], ctx)]))
-        groups.append(group_fn(ctx.sks, groups[-1], jnp.asarray(rc_np)))
+        groups.append(boot_fn(ctx.sks,
+                              sub_fn(ctx.sks, groups[-1], jnp.asarray(rc_np))))
     eks_arr = jnp.concatenate(groups, axis=0)
     if track:
         return BitCt(eks_arr,

@@ -104,15 +104,17 @@ def encrypt_block_for_rounds(ctx: FheContext, expanded_key: BitCt,
     return final_round(ctx, state, dm.key_word_group(expanded_key, 10))
 
 
-def key_schedule_group(ctx: FheContext, base: BitCt, prev: BitCt,
-                       rc_val_or_byte) -> BitCt:
-    """One group of four key-schedule words from the previous group.
+def key_schedule_group_preboot(ctx: FheContext, base: BitCt, prev: BitCt,
+                               rc_val_or_byte) -> BitCt:
+    """One group of four key-schedule words from the previous group, BEFORE
+    the noise-reset boot: RotWord + SubWord (one 32-lane SBOX cbs) + the XOR
+    chain (noise peaks at 12 « 64).
 
-    base: words i-4..i (lanes [4, 4, 8], booted); prev = base's last word
-    (lanes [4, 8]); returns the next four words, identity-bootstrapped
-    together (one 128-lane batch instead of four sequential 32-lane boots —
-    noise stays <= 12 « 64, the grouping fhe_sbox_pbs.rs:150-154 uses).
-    """
+    Split from the boot so the staged path can compile the two halves as
+    SEPARATE programs: XLA's optimization passes go superlinear on the
+    combined two-blind-rotate module (probe15: 8.8s + 22.6s for the halves
+    vs 106.7s combined on an idle host — and the combined compile was the
+    835-902s tail item in BENCH_r02/r03 runs under host load)."""
     rot = prev.take_lanes(np.array([1, 2, 3, 0]), axis=0)
     sub = ctx.circuit_bootstrap(rot, sbox_lut(ctx))
     w0 = base.slice_lanes(slice(0, 1), axis=0).reshape_lanes(4, 8) ^ sub
@@ -126,9 +128,20 @@ def key_schedule_group(ctx: FheContext, base: BitCt, prev: BitCt,
     for j in range(1, 4):
         ws.append(base.slice_lanes(slice(j, j + 1), axis=0).reshape_lanes(4, 8)
                   ^ ws[-1])
-    group = BitCt.concat_lanes([w.reshape_lanes(1, 4, 8) for w in ws], axis=0)
-    booted = boot_word(ctx, group)  # lanes [4, 4, 8] -> 128-lane identity cbs
-    return booted
+    return BitCt.concat_lanes([w.reshape_lanes(1, 4, 8) for w in ws], axis=0)
+
+
+def key_schedule_group(ctx: FheContext, base: BitCt, prev: BitCt,
+                       rc_val_or_byte) -> BitCt:
+    """One group of four key-schedule words from the previous group.
+
+    base: words i-4..i (lanes [4, 4, 8], booted); prev = base's last word
+    (lanes [4, 8]); returns the next four words, identity-bootstrapped
+    together (one 128-lane batch instead of four sequential 32-lane boots —
+    noise stays <= 12 « 64, the grouping fhe_sbox_pbs.rs:150-154 uses).
+    """
+    group = key_schedule_group_preboot(ctx, base, prev, rc_val_or_byte)
+    return boot_word(ctx, group)  # lanes [4, 4, 8] -> 128-lane identity cbs
 
 
 def key_schedule(ctx: FheContext, key: BitCt) -> BitCt:
