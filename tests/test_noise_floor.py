@@ -23,6 +23,8 @@ vs 58.25 measured end-to-end on the TPU (PERF.md "Production noise margin")
 ~2 min (the VERDICT-prescribed budget for an always-on production check).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -40,22 +42,18 @@ def _sbox_gal_mul(b: int) -> int:
             | gf_256_mul(int(SBOX[b]), 3))
 
 
-def test_production_noise_floor():
-    """One production SBOX circuit bootstrap with ALL truncations active:
-    decode must be exact and the phase-error stds must clear pinned bars an
-    8x variance regression in any truncation constant would blow through."""
+def _measure_noise_floor(params, dual_bar: float, out_bar: float):
+    """One production-geometry SBOX circuit bootstrap with ALL truncations
+    active: decode must be exact and the phase-error stds must clear the
+    given bars (log2 std)."""
     import jax.numpy as jnp
 
-    params = PARAMS_SQRD_LVL_64
     client, sks = keys_mod.generate_keys(params, seed=5)
 
     js_bsk = truncation.bsk_j_start(params)
     js_ksk = truncation.ksk_j_start(params)
     js_pf = truncation.pfpksk_j_start(params)
     js_vp = truncation.vp_ggsw_j_start(params)
-    # the shipped production constants (PERF.md "Production noise margin");
-    # a criteria change shows up here before it shows up as a decode failure
-    assert (js_bsk, js_ksk, js_pf, js_vp) == (2, 5, 1, 4)
 
     sks_t = sks._replace(
         bsk=np.asarray(truncation.truncate_u64_values(sks.bsk, js_bsk)),
@@ -75,8 +73,7 @@ def test_production_noise_floor():
     dec_dual = (((ph_dual + np.uint64(1 << 62)) >> np.uint64(63))
                 & np.uint64(1)).astype(np.uint8)
     assert (dec_dual == bits).all(), "dual bits decode failed"
-    # measured log2(std) 57.1; threshold 2^62. Bar = +8x variance headroom.
-    assert np.log2(err_dual.std()) <= 58.6, np.log2(err_dual.std())
+    assert np.log2(err_dual.std()) <= dual_bar, np.log2(err_dual.std())
 
     # scaling PBS (BSK js) + pfKS (pfPKSK js) -> GGSW, then vertical
     # packing of the production 8->24 LUT (VP GGSW js)
@@ -94,8 +91,33 @@ def test_production_noise_floor():
 
     err = (ph - (exp_bits << np.uint64(63))).astype(np.int64).astype(np.float64)
     log2_std = np.log2(err.std())
-    # measured 58.40 at 16 bytes / 58.3±0.2 at 4; the depth-5 XOR that
-    # follows in a round multiplies variance by <=5 (+1.2 bits) against the
-    # 2^62 decode threshold, so 59.2 here keeps >=5.5 sigma end-to-end and
-    # fails on any >3x variance regression (one js step is 2^16x).
-    assert log2_std <= 59.2, log2_std
+    assert log2_std <= out_bar, log2_std
+    return (js_bsk, js_ksk, js_pf, js_vp), np.log2(err_dual.std()), log2_std
+
+
+def test_production_noise_floor():
+    # the shipped production constants (PERF.md "Production noise margin");
+    # a criteria change shows up here before it shows up as a decode failure.
+    # dual bar: measured log2(std) 57.1 vs the 2^62 threshold (+8x variance
+    # headroom at 58.6). out bar: measured 58.40 at 16 bytes / 58.3±0.2 at
+    # 4; the depth-5 XOR that follows in a round multiplies variance by <=5
+    # (+1.2 bits) against the 2^62 decode threshold, so 59.2 keeps >=5.5
+    # sigma end-to-end and fails on any >3x variance regression (one js
+    # step is 2^16x).
+    js, _, _ = _measure_noise_floor(PARAMS_SQRD_LVL_64,
+                                    dual_bar=58.6, out_bar=59.2)
+    assert js == (2, 5, 1, 4)
+
+
+@pytest.mark.skipif(os.environ.get("TFHE_MXU_PROBE") != "1",
+                    reason="exploratory MXU-geometry probe; the default "
+                           "suite pins the shipped lvl64 set")
+def test_noise_floor_mxu_geometry():
+    """The TPU-first k=8/N=256 re-optimization (PARAMS_SQRD_LVL_64_MXU):
+    same measurement at the alternative geometry. The coarser Z_{2N}
+    mod-switch raises the dual error (~2^57.6 predicted vs 57.1); bars keep
+    the same absolute margins as the production test."""
+    from tfhe_aes2_tpu.ops.params import PARAMS_SQRD_LVL_64_MXU
+    js, dual, out = _measure_noise_floor(PARAMS_SQRD_LVL_64_MXU,
+                                         dual_bar=58.6, out_bar=59.2)
+    print(f"mxu geometry: js={js} dual_log2std={dual:.2f} out_log2std={out:.2f}")

@@ -1,0 +1,89 @@
+"""Two-process client/server serving (tfhe_aes2_tpu/serve.py).
+
+Makes the reference's in-process logical client/server split
+(main.rs:97-128) a REAL OS process boundary and pins its security property:
+the server process receives only the evaluation-key bundle and ciphertexts
+— secret key material never enters it (VERDICT r2 next #8).
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from tfhe_aes2_tpu.aes_128 import fhe_encryption, plain
+from tfhe_aes2_tpu.aes_128.scenario import ctr_blocks
+from tfhe_aes2_tpu.ops import compression, serialization
+from tfhe_aes2_tpu import serve as serve_mod
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_serving(tmp_path, keys_test):
+    client, sks = keys_test
+    bundle = str(tmp_path / "server_keys.npz")
+    serialization.save_server_keys(bundle, sks, client.params)
+
+    # the bundle holds evaluation keys ONLY — no lwe_sk/glwe_sk/rng state
+    with np.load(bundle) as z:
+        assert set(z.files) == {"bsk", "ksk", "pfpksk", "pksk", "params"}
+
+    addr = str(tmp_path / "fhe.sock")
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", ""))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tfhe_aes2_tpu.serve", "--keys", bundle,
+         "--address", addr, "--one-shot"],
+        env=env, cwd=REPO, stderr=subprocess.PIPE, text=True)
+    try:
+        for _ in range(600):
+            if os.path.exists(addr):
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"server died: {proc.stderr.read()[-2000:]}")
+            time.sleep(0.1)
+        else:
+            raise AssertionError("server socket never appeared")
+
+        # client side: only ciphertexts cross the wire
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        blocks = ctr_blocks(bytes.fromhex("bdd219b8a08ded1a"), 2)
+        key_ct = fhe_encryption.encrypt_byte_array(client, key)
+        block_cts = fhe_encryption.encrypt_blocks(client, blocks)
+
+        meta, arrays = serve_mod.request_keystream(
+            addr, key_ct, block_cts, rounds=2, compress=16)
+        assert meta["compress"] == 16
+
+        got = compression.decrypt_blocks_compressed(client, arrays["comp"],
+                                                    16)
+        expect = plain.expand_key_and_encrypt_blocks(key, blocks, 2)
+        assert got == expect
+    finally:
+        try:
+            rc = proc.wait(timeout=120)   # one-shot: exits after the reply
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            rc = proc.wait(timeout=60)
+    assert rc == 0, proc.stderr.read()[-2000:]
+
+
+def test_wire_format_is_pickle_free():
+    """The framing rejects arbitrary objects: only arrays + JSON meta."""
+    msg = serve_mod.pack_msg({"a": 1}, x=np.arange(4, dtype=np.uint64))
+    meta, arrays = serve_mod.unpack_msg(msg)
+    assert meta == {"a": 1}
+    assert np.array_equal(arrays["x"], np.arange(4))
+    # np.load with default allow_pickle=False refuses object arrays
+    import io
+    import json
+    import pytest
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(json.dumps({}).encode(), np.uint8),
+             evil=np.array([object()], dtype=object), allow_pickle=True)
+    with pytest.raises(ValueError):
+        serve_mod.unpack_msg(buf.getvalue())

@@ -113,6 +113,33 @@ PARAMS_SQRD_LVL_256 = WopbsParams(
 )
 
 
+# TPU-first re-optimization of the production geometry (this framework's,
+# not the reference's): concrete-optimizer chose k=4/N=512 under a CPU-FFT
+# cost model (parameters.rs:15-28 doc comments). The MXU negacirculant cost
+# model scales as (k+1)²·N² per CMux step (cells × dot size) and per VP
+# ladder, which at EQUAL security — the GLWE secret is the same
+# 2048-coefficient binary key (k·N = 2048), same noise stds — and equal
+# gadget widths favors k=8/N=256: ~19% fewer MACs in the blind rotate and
+# ~19% less VP ladder traffic. The price is a 2× coarser blind-rotate
+# mod-switch (Z_{2N} with N=256): its key-amplified rounding term rises from
+# ~2^56.4 to ~2^57.4, which the measured dual-bit margin absorbs (57.1
+# observed at N=512 vs the 58.8 bar — PERF.md "TPU-first parameter
+# exploration" records the sweep and the measured decision).
+PARAMS_SQRD_LVL_64_MXU = WopbsParams(
+    lwe_dimension=677,
+    glwe_dimension=8,
+    polynomial_size=256,
+    lwe_noise_std=4.7280002450549286e-05,
+    glwe_noise_std=2.2148688116005568e-16,
+    pbs_level=3, pbs_base_log=12,
+    ks_level=4, ks_base_log=3,
+    cbs_level=1, cbs_base_log=13,
+    pfks_level=2, pfks_base_log=16,
+    pfks_noise_std=2.2148688116005568e-16,
+    max_noise_level_squared=64,
+)
+
+
 # reference shortint_woppbs_8bit.rs:39-86 — the 8-bit model (message modulus
 # 256, optimizer cost 12143 ≈ 67x the 1-bit lvl64 set; kept for capability
 # parity, outperformed by the 1-bit model per README.md:77-78)

@@ -1,0 +1,145 @@
+"""Two-process client/server FHE AES serving (a REAL process boundary).
+
+The reference's client/server split is a logical boundary inside one process
+(run_client_server_aes_scenario, main.rs:97-128). Deployed, the boundary is
+a process/network one: the accelerator host must hold ONLY evaluation keys.
+This module makes that concrete:
+
+  * server: `python -m tfhe_aes2_tpu.serve --keys server_keys.npz
+    --address /tmp/fhe.sock` — loads an evaluation-key bundle
+    (ops/serialization.save_server_keys: bsk/ksk/pfpksk/pksk + params, no
+    secret keys), listens on a Unix socket, and answers keystream requests:
+    FHE key expansion + batched AES rounds (+ optional homomorphic CTR
+    derivation and output compression), all on ciphertexts.
+  * client: `request_keystream` — ships the encrypted AES key + encrypted
+    iv||ctr block(s) over the wire and gets compressed output ciphertexts
+    back. Secret key material provably never enters the server process
+    (tests/test_serve.py pins the bundle contents and runs the pair as two
+    OS processes).
+
+Wire format: length-framed messages (multiprocessing.connection) whose
+payload is an npz archive — arrays + one JSON meta entry; no pickle, so a
+malicious peer cannot run code in either process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+
+import numpy as np
+
+
+def pack_msg(meta: dict, **arrays) -> bytes:
+    """npz-framed message: JSON meta + named u-int arrays (no pickle)."""
+    buf = io.BytesIO()
+    np.savez(buf, __meta__=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+             **arrays)
+    return buf.getvalue()
+
+
+def unpack_msg(data: bytes):
+    with np.load(io.BytesIO(data)) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        arrays = {k: z[k] for k in z.files if k != "__meta__"}
+    return meta, arrays
+
+
+def _handle(ctx, strategy, meta, arrays):
+    """One keystream request -> (meta, arrays) response."""
+    import jax.numpy as jnp
+
+    from tfhe_aes2_tpu.aes_128 import ctr_fhe, fhe as fhe_mod
+    from tfhe_aes2_tpu.ops import compression
+
+    rounds = int(meta.get("rounds", 10))
+    log2q = int(meta.get("compress", 16))
+    count = int(meta.get("fhe_counter_count", 0))
+
+    eks = fhe_mod.key_schedule_staged(strategy, ctx,
+                                      jnp.asarray(arrays["key_ct"]))
+    blocks_arr = jnp.asarray(arrays["block_cts"])
+    blocks_meta = None
+    if count:
+        block0 = blocks_arr[0] if blocks_arr.ndim == 4 else blocks_arr
+        blocks_arr = ctr_fhe.derive_ctr_blocks_staged(ctx, block0, count)
+        blocks_meta = ctr_fhe.derived_blocks_meta(ctx, block0, count)
+    out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_arr,
+                                        rounds, blocks_meta=blocks_meta)
+    if log2q:
+        comp = compression.compress_bits(out.array, ctx.sks, ctx.params,
+                                         log2q)
+        return ({"ok": True, "compress": log2q,
+                 "shape": list(np.shape(comp))},
+                {"comp": np.asarray(comp)})
+    return {"ok": True, "compress": 0}, {"out": np.asarray(out.array)}
+
+
+def serve(keys_path: str, address: str, one_shot: bool = False) -> None:
+    """Server main loop. Loads ONLY the evaluation-key bundle."""
+    from multiprocessing.connection import Listener
+
+    import jax
+    import jax.numpy as jnp
+
+    from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
+    from tfhe_aes2_tpu.ops import keys as keys_mod, serialization
+
+    sks, params = serialization.load_server_keys(keys_path)
+    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+    if jax.default_backend() != "cpu":
+        sks_dev = keys_mod.prepare_server_keys(sks_dev, params)
+    ctx = FheContext(params=params, sks=sks_dev)
+    strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+
+    with Listener(address, "AF_UNIX") as listener:
+        print(f"[serve] evaluation keys loaded; listening on {address}",
+              file=sys.stderr, flush=True)
+        while True:
+            with listener.accept() as conn:
+                try:
+                    meta, arrays = unpack_msg(conn.recv_bytes())
+                    resp = _handle(ctx, strategy, meta, arrays)
+                except Exception as e:  # report, don't kill the server
+                    resp = ({"ok": False, "error": f"{type(e).__name__}: {e}"},
+                            {})
+                conn.send_bytes(pack_msg(resp[0], **resp[1]))
+            if one_shot:
+                return
+
+
+def request_keystream(address: str, key_ct, block_cts, rounds: int = 10,
+                      compress: int = 16, fhe_counter_count: int = 0):
+    """Client side: send encrypted key + block ct(s), return (meta, arrays)."""
+    from multiprocessing.connection import Client
+
+    with Client(address, "AF_UNIX") as conn:
+        conn.send_bytes(pack_msg(
+            {"rounds": rounds, "compress": compress,
+             "fhe_counter_count": fhe_counter_count},
+            key_ct=np.asarray(key_ct), block_cts=np.asarray(block_cts)))
+        meta, arrays = unpack_msg(conn.recv_bytes())
+    if not meta.get("ok"):
+        raise RuntimeError(f"server error: {meta.get('error')}")
+    return meta, arrays
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="FHE AES keystream server (evaluation keys only)")
+    ap.add_argument("--keys", required=True,
+                    help="evaluation-key bundle (save_server_keys npz)")
+    ap.add_argument("--address", required=True, help="unix socket path")
+    ap.add_argument("--one-shot", action="store_true",
+                    help="serve a single request then exit")
+    args = ap.parse_args(argv)
+    import tfhe_aes2_tpu  # noqa: F401 (x64)
+    serve(args.keys, args.address, one_shot=args.one_shot)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
