@@ -12,8 +12,9 @@ for tfhe-rs WoP-PBS AES-128 implementations of this bounty generation on a
 multi-core CPU. BASELINE.md ("Provenance of the 1× mark") documents the
 sources and the uncertainty; the JSON labels it via the "baseline" field.
 
-Env knobs: BENCH_BLOCKS (default 8 = one 1024-lane batch tile, the measured
-throughput sweet spot), BENCH_PARAMS (lvl64|test), BENCH_ROUNDS, BENCH_REPS,
+Env knobs: BENCH_BLOCKS (default 16 = two 1024-lane batch tiles — measured
+0.7353 blocks/s vs 0.7310 at 8; the single-2048-tile variant loses to VMEM
+pressure, PERF.md), BENCH_PARAMS (lvl64|lvl64mxu|test), BENCH_ROUNDS, BENCH_REPS,
 BENCH_COMPRESS (default 16: the timed region includes server-side output
 compression to q'=2^16 and the client verifies the compressed response —
 the serving configuration; 0 restores the raw big-key output for comparison
@@ -40,9 +41,10 @@ def main() -> int:
     from tfhe_aes2_tpu.aes_128 import aes_lib, fhe as fhe_mod, fhe_encryption
     from tfhe_aes2_tpu.aes_128.scenario import ctr_blocks
     from tfhe_aes2_tpu.ops import keys as keys_mod
-    from tfhe_aes2_tpu.ops.params import PARAMS_SQRD_LVL_64, PARAMS_TEST_N256
+    from tfhe_aes2_tpu.ops.params import (
+        PARAMS_SQRD_LVL_64, PARAMS_SQRD_LVL_64_MXU, PARAMS_TEST_N256)
 
-    n_blocks = int(os.environ.get("BENCH_BLOCKS", "8"))
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", "16"))
     which = os.environ.get("BENCH_PARAMS", "lvl64")
     rounds = int(os.environ.get("BENCH_ROUNDS", "10"))
     # BENCH_COMPRESS (default 16, 0 disables): the server response is
@@ -53,7 +55,8 @@ def main() -> int:
     # TPU sits behind a tunnel where a 16.8MB readback costs ~0.3s that a
     # locally-attached accelerator would not pay. The JSON labels the mode.
     compress = int(os.environ.get("BENCH_COMPRESS", "16"))
-    params = {"lvl64": PARAMS_SQRD_LVL_64, "test": PARAMS_TEST_N256}[which]
+    params = {"lvl64": PARAMS_SQRD_LVL_64, "lvl64mxu": PARAMS_SQRD_LVL_64_MXU,
+              "test": PARAMS_TEST_N256}[which]
 
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()} "
           f"params={which} blocks={n_blocks} rounds={rounds}", file=sys.stderr)

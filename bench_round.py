@@ -30,13 +30,16 @@ def main() -> int:
     import jax.numpy as jnp
 
     import tfhe_aes2_tpu  # noqa: F401
-    from tfhe_aes2_tpu.ops.params import PARAMS_SQRD_LVL_64
+    from tfhe_aes2_tpu.ops.params import (PARAMS_SQRD_LVL_64,
+                                          PARAMS_SQRD_LVL_64_MXU)
     from tfhe_aes2_tpu.ops import blind_rotate as br
     from tfhe_aes2_tpu.ops import circuit_bootstrap as cbs_ops
     from tfhe_aes2_tpu.ops import keys as keys_mod
     from tfhe_aes2_tpu.ops import keyswitch as ks
 
-    p = PARAMS_SQRD_LVL_64
+    p = (PARAMS_SQRD_LVL_64_MXU
+         if os.environ.get("BENCH_PARAMS") == "lvl64mxu"
+         else PARAMS_SQRD_LVL_64)
     blocks = int(os.environ.get("BENCH_BLOCKS", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     which = os.environ.get(
