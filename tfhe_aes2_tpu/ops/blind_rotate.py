@@ -191,6 +191,10 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
         import os as _os
         mstack2 = extprod.use_mstack2() if mode == "pallas" else False
         ncs = extprod.use_nc_scratch() if mode == "pallas" else False
+        # TFHE_BR_BBIN: at two batch tiles, iterate the tile axis innermost
+        # and build each (o, r) cell's ladders once (extprod_step2g bbin)
+        bbin = (mode == "pallas"
+                and _os.environ.get("TFHE_BR_BBIN", "0") == "1")
         if mode == "pallas":
             if prepared:
                 ext_or_all = jnp.asarray(bsk)  # [n, k1, R, 8-j_start, 2N]
@@ -254,7 +258,8 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                         dig, ext_or, acc_of,
                         t_nxt.reshape((batch_flat,)),
                         base_log=p.pbs_base_log, levels=p.pbs_level,
-                        j_start=j_start, mstack2=mstack2, nc_scratch=ncs)
+                        j_start=j_start, mstack2=mstack2, nc_scratch=ncs,
+                        bbin=bbin)
                     return (acc_of, dig), None
 
                 # TFHE_BR_UNROLL: scan-body unrolling amortizes the XLA
