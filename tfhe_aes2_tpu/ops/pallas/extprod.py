@@ -261,9 +261,11 @@ def _packed_dots(n_d: int, n: int, j_start: int, dig_at, ext_at, part_ref,
 def _packed_nc_planes(n: int, js_all, ext_row_at, nc_ref=None):
     """Yield (j, negacirculant[N, N] int8) for each plane j in js_all, built
     4 planes per int32 rotation ladder (see _packed_dots docstring).
-    With nc_ref (VMEM scratch [N, 2N] int32) the ladder is built in place —
-    each row block stored once instead of the value chain's ~2x rewrite."""
-    for g in range(0, len(js_all), 4):
+    With nc_ref (VMEM scratch [N, 2N] int32, or [S, N, 2N] — consecutive
+    ladders ALTERNATE slots so the next build need not wait for the previous
+    ladder's consumers) the ladder is built in place — each row block stored
+    once instead of the value chain's ~2x rewrite."""
+    for gi, g in enumerate(range(0, len(js_all), 4)):
         js = js_all[g: g + 4]
         row = None
         for p_i, j in enumerate(js):
@@ -271,8 +273,10 @@ def _packed_nc_planes(n: int, js_all, ext_row_at, nc_ref=None):
             word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
             row = word if row is None else row | word
         if nc_ref is not None:
-            _nc_rows_into(nc_ref, row, n)
-            packed = nc_ref[:, :n]                             # [N, N] int32
+            slot = None if nc_ref.ndim == 2 else gi % nc_ref.shape[0]
+            _nc_rows_into(nc_ref, row, n, slot=slot)
+            packed = (nc_ref[:, :n] if slot is None
+                      else nc_ref[slot, :, :n])                # [N, N] int32
         else:
             packed = _nc_rows(row, n)[:, :n]                   # [N, N] int32
         for p_i, j in enumerate(js):
