@@ -155,9 +155,19 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
         kp = jnp.moveaxis(kp.reshape((b_flat,) + kp.shape[len(batch):]), 1, 0)
         from tfhe_aes2_tpu.ops import decomposition as dec
         if mode == "pallas":
+            import os as _os
+
             from tfhe_aes2_tpu.ops.pallas import extprod
-            out = extprod.polymul_digits_pallas_grouped(
-                d4, kp, dec.digit_bound(p.cbs_base_log), j_start=js_vp)
+            if (_os.environ.get("TFHE_VP_NTT", "0") == "1"
+                    and kp.shape[0] <= 4):
+                # CRT-NTT lowering: shared transform matrices on the MXU
+                # instead of per-lane negacirculant ladders (ops/ntt.py)
+                from tfhe_aes2_tpu.ops import ntt
+                out = ntt.polymul_digits_ntt_grouped(
+                    d4, kp, dec.digit_bound(p.cbs_base_log), j_start=js_vp)
+            else:
+                out = extprod.polymul_digits_pallas_grouped(
+                    d4, kp, dec.digit_bound(p.cbs_base_log), j_start=js_vp)
         else:
             out = polynomial.polymul_digits_conv_grouped(
                 d4, kp, dec.digit_bound(p.cbs_base_log))
