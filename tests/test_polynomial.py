@@ -173,19 +173,9 @@ def test_blind_rotate_fused_glue_matches_xla_glue(keys_test, monkeypatch):
         np.testing.assert_array_equal(
             got, ref, err_msg=f"xla-glue trunc={trunc} mstack2")
         monkeypatch.delenv("TFHE_BR_MSTACK2")
-        # batch-tile-innermost ladder-reuse variant (TFHE_BR_BBIN; engages
-        # at two batch tiles — force via TFHE_BT; env-gated off in
-        # production after measuring 3x slower on TPU, kept bit-exact)
-        monkeypatch.setenv("TFHE_BR_BBIN", "1")
-        monkeypatch.setenv("TFHE_BT", "2")
-        monkeypatch.setenv("TFHE_BR_KERNEL", "gridg")
-        got = np.asarray(br.blind_rotate_glwe(
-            shifted, sks_dev.bsk, acc_body, p, use_conv="pallas"))
-        np.testing.assert_array_equal(
-            got, ref, err_msg=f"bbin trunc={trunc}")
-        monkeypatch.delenv("TFHE_BR_BBIN")
-        monkeypatch.delenv("TFHE_BT")
-        monkeypatch.delenv("TFHE_BR_KERNEL")
+        # (the TFHE_BR_BBIN ladder-reuse variant was removed: 3x slower on
+        # TPU and its bb-innermost grid violated Pallas TPU output-window
+        # semantics with the aliased accumulator — PERF.md, ADVICE r3)
 
 
 def test_pallas_extprod_matches_shared():

@@ -83,7 +83,9 @@ def test_wire_format_is_pickle_free():
     import json
     import pytest
     buf = io.BytesIO()
+    # np.savez pickles object arrays by default (it has no allow_pickle
+    # switch); the point is that the RECEIVER's np.load refuses them.
     np.savez(buf, __meta__=np.frombuffer(json.dumps({}).encode(), np.uint8),
-             evil=np.array([object()], dtype=object), allow_pickle=True)
+             evil=np.array([object()], dtype=object))
     with pytest.raises(ValueError):
         serve_mod.unpack_msg(buf.getvalue())

@@ -46,9 +46,34 @@ jax.config.update("jax_enable_x64", True)
 # is next to the package so bench.py / cli.py / tests all share it;
 # TFHE_JAX_CACHE overrides (set to "0" to disable, e.g. for compile-time
 # measurements).
+#
+# The default dir is suffixed with a fingerprint of this host's CPU feature
+# flags: XLA:CPU cache entries are AOT executables compiled for the exact
+# machine features of the compiling host, and jax's cache key does NOT
+# include them — loading another machine's entries triggers cpu_aot_loader
+# "could lead to execution errors such as SIGILL" warnings (seen when the
+# driver host deserialized the bench host's executables, MULTICHIP_r03).
+# TPU entries only ever compile on the tunnel host, so the split costs
+# nothing there. An explicit TFHE_JAX_CACHE is used verbatim.
+
+
+def _machine_tag() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return platform.machine() or "unknown"
+
+
 _CACHE = os.environ.get(
     "TFHE_JAX_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"))
+    os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                 ".jax_cache-" + _machine_tag()))
 if _CACHE != "0":
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

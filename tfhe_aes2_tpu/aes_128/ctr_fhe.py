@@ -105,9 +105,13 @@ def derived_blocks_meta(ctx: FheContext, block0_arr, count: int,
     entry (block 0 is fresh, later counters carry 9-bit-adder bootstrap
     noise), so this shadow-traces the increment chain and takes the per-lane
     MAX noise over the batch — sound for the budget check — with one fresh
-    id per lane (every block's bits are independent fresh encryptions or
-    bootstrap outputs, so a single id represents the iid batch, the same
-    convention the whole-program path uses for fresh batches)."""
+    id per lane. NOTE the id convention's limit: the IV lanes of every
+    derived block are literally the SAME ciphertexts as block 0's
+    (increment_block passes them through), NOT iid across the batch; only
+    the counter lanes are per-block bootstrap outputs. One id per lane is
+    sound today because no circuit XORs two different batch entries with
+    each other; if a cross-batch-entry combine op is ever added, the
+    independence check must first split ids per batch entry."""
     from tfhe_aes2_tpu.aes_128.fhe import _shadow_bitct
 
     lut = increment_lut(ctx)

@@ -22,6 +22,7 @@ TPU-native re-design of reference src/tfhe/shortint_woppbs_1bit.rs:
 from __future__ import annotations
 
 import itertools
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -113,7 +114,12 @@ class FheContext:
             out = cbs_ops.circuit_bootstrap_vertical_packing(
                 bits.array, jnp.asarray(lut), self.sks, self.params)
         else:
-            key = (bits.array.shape, lut.shape)
+            # TFHE_VP_NTT is read at trace time inside vertical_packing, so
+            # it must be part of the jitted-program cache key — otherwise
+            # toggling it mid-process would silently reuse a program traced
+            # under the old setting (ADVICE r3).
+            key = (bits.array.shape, lut.shape,
+                   os.environ.get("TFHE_VP_NTT", "0"))
             if key not in self._cbs_kernel_cache:
                 self._cbs_kernel_cache[key] = jax.jit(
                     lambda sks, b, l: cbs_ops.circuit_bootstrap_vertical_packing(

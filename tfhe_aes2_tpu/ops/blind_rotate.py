@@ -191,10 +191,11 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
         import os as _os
         mstack2 = extprod.use_mstack2() if mode == "pallas" else False
         ncs = extprod.use_nc_scratch() if mode == "pallas" else False
-        # TFHE_BR_BBIN: at two batch tiles, iterate the tile axis innermost
-        # and build each (o, r) cell's ladders once (extprod_step2g bbin)
-        bbin = (mode == "pallas"
-                and _os.environ.get("TFHE_BR_BBIN", "0") == "1")
+        # A (o, r, bb)-grid ladder-reuse variant (TFHE_BR_BBIN) was removed:
+        # it measured 3x slower at 16 blocks (PERF.md batch-wall table) AND
+        # its bb-innermost grid revisited output blocks non-consecutively,
+        # which Pallas TPU's output-window semantics don't guarantee safe
+        # with input_output_aliases (ADVICE r3).
         if mode == "pallas":
             if prepared:
                 ext_or_all = jnp.asarray(bsk)  # [n, k1, R, 8-j_start, 2N]
@@ -258,8 +259,7 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
                         dig, ext_or, acc_of,
                         t_nxt.reshape((batch_flat,)),
                         base_log=p.pbs_base_log, levels=p.pbs_level,
-                        j_start=j_start, mstack2=mstack2, nc_scratch=ncs,
-                        bbin=bbin)
+                        j_start=j_start, mstack2=mstack2, nc_scratch=ncs)
                     return (acc_of, dig), None
 
                 # TFHE_BR_UNROLL: scan-body unrolling amortizes the XLA

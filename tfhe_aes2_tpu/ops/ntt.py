@@ -80,7 +80,17 @@ def _mat_planes(n: int, p: int, inverse: bool):
 
 
 def _barrett(x, p: int):
-    """Exact x mod p into balanced (-p/2, p/2], |x| < 2^28, int32."""
+    """Exact x mod p into balanced (-p/2, p/2], int32.
+
+    Exactness bound: the f32 estimate q = round(x·(1/p)) carries three
+    roundings (x→f32, 1/p→f32, product), relative error < 4·2^-24, so
+    q is within ±1 of round(x/p) for any |x| ≤ 2^30 (absolute drift
+    |x/p|·2^-22 < 2^-5 for the 14-bit primes used here). Then
+    |x − q·p| ≤ 3p/2 and the two one-sided correction steps below land r
+    exactly in (-p/2, p/2]; all intermediates stay far inside int32.
+    Callers reach ~2^29.4 (the R=5 pointwise sums and the in-frequency
+    limb-weight sums for p=18433), inside the 2^30 bound.
+    """
     q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
     r = x - q * jnp.int32(p)
     r = jnp.where(r > p // 2, r - p, r)

@@ -536,88 +536,13 @@ def _kernel_grid_fused_g(n_d: int, n: int, r_cnt: int, j_start: int,
         _glue_body(n, base_log, levels, n_d, lo, hi, t_ref[...], write_plane)
 
 
-def _kernel_grid_fused_g_bbin(n_d: int, n: int, r_cnt: int, j_start: int,
-                              base_log: int, levels: int,
-                              t_ref, dig_ref, ext_ref, acc_ref,
-                              out_ref, dig_out_ref,
-                              part0_ref, part1_ref, nc_ref):
-    """_kernel_grid_fused_g with the batch-tile axis INNERMOST and the
-    negacirculant ladders built once per (o, r) cell pair.
-
-    At 2 batch tiles (16 blocks) the (bb, o, r) grid rebuilds every ladder
-    per tile — ~0.19 ms/step of pure VPU traffic duplicated. Here the grid
-    is (o, r, bb): the bb==0 cell builds the cell's packed ladders into a
-    persistent scratch, the bb==1 cell reuses them. The partial-sum buckets
-    are branch-duplicated (part0/part1 under pl.when arms) instead of
-    dynamically indexed — dynamic scratch indexing defeats Mosaic (see the
-    merged-kernel postmortem in blind_rotate.py).
-
-    Block shapes as _kernel_grid_fused_g; extra scratch:
-    part0/part1 [8, B, N] int32 (one per batch tile), nc [G, N, 2N] int32
-    (G packed ladders of the current (o, r) cell)."""
-    rr = pl.program_id(1)
-    bb = pl.program_id(2)
-
-    js_all = [j for j in range(j_start, 8)
-              if any(i + j < 8 for i in range(n_d))]
-    groups = [js_all[g: g + 4] for g in range(0, len(js_all), 4)]
-
-    @pl.when(bb == 0)
-    def _build():
-        for gi, js in enumerate(groups):
-            row = None
-            for p_i, j in enumerate(js):
-                b8 = ext_ref[0, 0, j - j_start: j - j_start + 1, :]
-                word = (b8.astype(jnp.int32) & 0xFF) << (8 * p_i)
-                row = word if row is None else row | word
-            _nc_rows_into(nc_ref, row, n, slot=gi)
-
-    def arm(part_ref):
-        @pl.when(rr == 0)
-        def _init():
-            part_ref[...] = jnp.zeros_like(part_ref)
-
-        for gi, js in enumerate(groups):
-            packed = nc_ref[gi, :, :n]
-            for p_i, j in enumerate(js):
-                ncm = ((packed << (24 - 8 * p_i)) >> 24).astype(jnp.int8)
-                for i in range(n_d):
-                    s = i + j
-                    if s >= 8:
-                        continue
-                    contrib = jnp.dot(dig_ref[0, 0, i], ncm,
-                                      preferred_element_type=jnp.int32)
-                    part_ref[s] = part_ref[s] + contrib
-
-        @pl.when(rr == r_cnt - 1)
-        def _fini():
-            lo, hi = _recombine(j_start, acc_ref[0, 0], acc_ref[0, 1],
-                                part_ref)
-            out_ref[0, 0] = lo
-            out_ref[0, 1] = hi
-
-            def write_plane(l, i, p):
-                dig_out_ref[0, l, i] = p
-
-            _glue_body(n, base_log, levels, n_d, lo, hi, t_ref[...],
-                       write_plane)
-
-    @pl.when(bb == 0)
-    def _arm0():
-        arm(part0_ref)
-
-    @pl.when(bb != 0)
-    def _arm1():
-        arm(part1_ref)
-
-
 @functools.partial(jax.jit, static_argnames=(
     "base_log", "levels", "interpret", "j_start", "max_tile", "mstack2",
-    "nc_scratch", "bbin"))
+    "nc_scratch"))
 def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
                    interpret: bool | None = None, j_start: int = 0,
                    max_tile: int | None = None, mstack2: bool = False,
-                   nc_scratch: bool = False, bbin: bool = False):
+                   nc_scratch: bool = False):
     """One CMux step in ONE pallas call: extprod_step2 dots/recombine plus
     the NEXT step's rotation/diff/decompose glue fused into the finish.
 
@@ -645,43 +570,6 @@ def extprod_step2g(dig, ext_or, acc, t_next, base_log: int, levels: int,
     n_bt = b // bt
 
     t2 = t_next.reshape(b, 1).astype(jnp.int32)
-    if bbin and n_bt == 2:
-        js_all = [j for j in range(j_start, 8)
-                  if any(i + j < 8 for i in range(n_d))]
-        n_groups = (len(js_all) + 3) // 4
-        kern = functools.partial(_kernel_grid_fused_g_bbin, n_d, n, r,
-                                 j_start, base_log, levels)
-        with jax.enable_x64(False):
-            new_acc, new_dig = pl.pallas_call(
-                kern,
-                grid=(o, r, n_bt),
-                in_specs=[
-                    pl.BlockSpec((bt, 1), lambda oo, rr, bb: (bb, 0)),
-                    pl.BlockSpec((1, 1, n_d, bt, n),
-                                 lambda oo, rr, bb: (rr // levels,
-                                                     rr % levels, 0, bb, 0)),
-                    pl.BlockSpec((1, 1, 8 - j_start, two_n),
-                                 lambda oo, rr, bb: (oo, rr, 0, 0)),
-                    pl.BlockSpec((1, 2, bt, n),
-                                 lambda oo, rr, bb: (oo, 0, bb, 0)),
-                ],
-                out_specs=[
-                    pl.BlockSpec((1, 2, bt, n),
-                                 lambda oo, rr, bb: (oo, 0, bb, 0)),
-                    pl.BlockSpec((1, levels, n_d, bt, n),
-                                 lambda oo, rr, bb: (oo, 0, 0, bb, 0)),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((o, 2, b, n), jnp.uint32),
-                    jax.ShapeDtypeStruct((k1, levels, n_d, b, n), jnp.int8),
-                ],
-                scratch_shapes=[pltpu.VMEM((8, bt, n), jnp.int32),
-                                pltpu.VMEM((8, bt, n), jnp.int32),
-                                pltpu.VMEM((n_groups, n, two_n), jnp.int32)],
-                input_output_aliases={3: 0},
-                interpret=interpret,
-            )(t2, dig, ext_or, acc)
-        return new_acc, new_dig
 
     kern = functools.partial(_kernel_grid_fused_g, n_d, n, r, j_start,
                              base_log, levels, mstack2)

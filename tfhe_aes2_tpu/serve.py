@@ -78,26 +78,33 @@ def _handle(ctx, strategy, meta, arrays):
 
 
 def serve(keys_path: str, address: str, one_shot: bool = False) -> None:
-    """Server main loop. Loads ONLY the evaluation-key bundle."""
+    """Server main loop. Loads ONLY the evaluation-key bundle.
+
+    The socket is bound BEFORE the jax import / key load so clients can
+    connect (and queue a request) the moment the process starts; the heavy
+    startup happens while the first request waits in the accept backlog.
+    """
     from multiprocessing.connection import Listener
 
-    import jax
-    import jax.numpy as jnp
-
-    from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
-    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
-    from tfhe_aes2_tpu.ops import keys as keys_mod, serialization
-
-    sks, params = serialization.load_server_keys(keys_path)
-    sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
-    if jax.default_backend() != "cpu":
-        sks_dev = keys_mod.prepare_server_keys(sks_dev, params)
-    ctx = FheContext(params=params, sks=sks_dev)
-    strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
-
     with Listener(address, "AF_UNIX") as listener:
-        print(f"[serve] evaluation keys loaded; listening on {address}",
+        print(f"[serve] listening on {address}; loading evaluation keys",
               file=sys.stderr, flush=True)
+
+        import jax
+        import jax.numpy as jnp
+
+        from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
+        from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
+        from tfhe_aes2_tpu.ops import keys as keys_mod, serialization
+
+        sks, params = serialization.load_server_keys(keys_path)
+        sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
+        if jax.default_backend() != "cpu":
+            sks_dev = keys_mod.prepare_server_keys(sks_dev, params)
+        ctx = FheContext(params=params, sks=sks_dev)
+        strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+
+        print("[serve] evaluation keys loaded", file=sys.stderr, flush=True)
         while True:
             with listener.accept() as conn:
                 try:
