@@ -19,6 +19,23 @@ BENCH_COMPRESS (default 16: the timed region includes server-side output
 compression to q'=2^16 and the client verifies the compressed response —
 the serving configuration; 0 restores the raw big-key output for comparison
 with the pre-compression PERF.md rows).
+
+Besides the headline throughput, the JSON carries (VERDICT r3 #3/#8):
+  latency_1block_s    — ONE block end to end at steady state: in-process key
+                        expansion + a 1-block batch + compression, decrypt-
+                        verified (what a serving deployment exhibits per
+                        fresh key). BENCH_LATENCY=0 skips.
+  scenario_10_outputs_s — the reference's canonical CLI run (README.md:6,
+                        main.rs:153-157): key expansion + 10 CTR outputs.
+  ttfb_s              — time to first verified block THIS process paid,
+                        including compile/cache-load (key expansion + first
+                        batch).
+  secondary.stage_ms_per_round — ks/pbs/pfks/vp dissection at the bench
+                        batch (BENCH_STAGES=0 skips), plus the active
+                        truncation constants js=(bsk, ksk, pfpksk, vp), the
+                        parameter-set name, and the CMux scan's estimated
+                        MXU utilization, so the driver artifact shows a
+                        silent constant/stage regression directly.
 """
 
 from __future__ import annotations
@@ -141,6 +158,75 @@ def main() -> int:
                               "vs_baseline": 0.0, "error": "verify_failed"}))
             return 1
 
+    # ---- latency headline (VERDICT r3 #3) ------------------------------
+    # The reference's canonical run is an end-to-end scenario timed as a
+    # whole (main.rs:153-157); throughput at a 16-block batch is not what a
+    # serving deployment or the CLI exhibits. Measured here at steady state
+    # (programs live in-process — the cold/warm story is the ttfb_s field
+    # and PERF.md's cold-start table).
+    latency = {}
+    if os.environ.get("BENCH_LATENCY", "1") != "0" and rounds == 10:
+        # in-process key expansion (the per-fresh-key cost a server pays)
+        t0 = time.time()
+        eks2 = fhe_mod.key_schedule_staged(strategy, ctx, jnp.asarray(key_ct))
+        np.asarray(eks2.array)
+        t_exp_steady = time.time() - t0
+        print(f"[bench] key expansion steady {t_exp_steady:.2f}s",
+              file=sys.stderr)
+
+        # ONE block end to end: encrypt -> 10 rounds -> compress -> verify
+        blk1_clear = ctr_blocks(iv, 1)
+        blk1 = jnp.asarray(fhe_encryption.encrypt_blocks(client, blk1_clear))
+        for attempt in range(2):   # first run pays the 1-block compile
+            t0 = time.time()
+            out1 = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blk1,
+                                                 rounds)
+            out1 = (np.asarray(compress_fn(out1.array, ctx.sks)) if compress
+                    else np.asarray(out1.array))
+            t_blk1 = time.time() - t0
+        got1 = (compression.decrypt_blocks_compressed(client, out1, compress)
+                if compress else fhe_encryption.decrypt_blocks(client, out1))
+        assert got1 == aes_lib.encrypt_blocks(key, blk1_clear), "1-block verify"
+        latency["latency_1block_s"] = round(t_exp_steady + t_blk1, 3)
+        print(f"[bench] 1-block latency {t_exp_steady + t_blk1:.2f}s "
+              f"(expand {t_exp_steady:.2f} + block {t_blk1:.2f})",
+              file=sys.stderr)
+
+        # the reference's canonical 10-output scenario (README.md:6):
+        # key expansion + 10 CTR outputs via ceil(10/batch) batched runs
+        n_runs = -(-10 // n_blocks)
+        t_sc = t_exp_steady
+        for _ in range(n_runs):
+            t0 = time.time()
+            run_once()
+            t_sc += time.time() - t0
+        latency["scenario_10_outputs_s"] = round(t_sc, 3)
+        print(f"[bench] 10-output scenario {t_sc:.2f}s "
+              f"({n_runs} x {n_blocks}-block batches)", file=sys.stderr)
+
+    # ---- per-stage dissection + audit constants (VERDICT r3 #8) --------
+    stages = {}
+    if os.environ.get("BENCH_STAGES", "1") != "0":
+        stages = _stage_dissection(client, sks_dev, params, n_blocks)
+    from tfhe_aes2_tpu.ops import truncation
+    js = (truncation.bsk_j_start(params), truncation.ksk_j_start(params),
+          truncation.pfpksk_j_start(params), truncation.vp_ggsw_j_start(params))
+    mxu_util = None
+    if stages.get("pbs"):
+        # CMux-scan MXU utilization: kept int8 dots per step vs the measured
+        # ~500 TOPS v5e int8 envelope (PERF.md "CMux step anatomy")
+        from tfhe_aes2_tpu.ops import decomposition, torus
+        n_d = torus.limbs_for_bound(
+            decomposition.digit_bound(params.pbs_base_log))
+        dots = sum(1 for j in range(js[0], 8) for i in range(n_d) if i + j < 8)
+        k1 = params.glwe_dimension + 1
+        r_rows = k1 * params.pbs_level
+        n_poly = params.polynomial_size
+        lanes = n_blocks * 128
+        ops = (k1 * r_rows * dots * lanes * n_poly * n_poly * 2
+               * params.lwe_dimension)
+        mxu_util = round(ops / (stages["pbs"] / 1e3) / 500e12, 3)
+
     # secondary metric (BASELINE.md targets table): 8-bit circuit bootstraps
     # per second — 16 SBOX bootstraps per block per round (the final round's
     # sub_bytes included; rounds 1..9 use the 8->24 gal-mul variant).
@@ -151,12 +237,77 @@ def main() -> int:
         "unit": "blocks/s",
         "vs_baseline": round(blocks_per_s / BASELINE_BLOCKS_PER_S, 3),
         "baseline": "literature-estimate-1/240-blocks-per-s",
-        "secondary": {"circuit_bootstraps_per_s": round(cbs_per_s, 2)},
+        "secondary": {"circuit_bootstraps_per_s": round(cbs_per_s, 2),
+                      "params": which,
+                      "js_bsk_ksk_pfpksk_vp": list(js),
+                      "stage_ms_per_round": stages or None,
+                      "cmux_scan_mxu_utilization": mxu_util,
+                      "key_expansion_incl_compile_s": round(t_expand, 1),
+                      **latency},
+        "ttfb_s": round(t_expand + t_first, 1),
         "output": (f"compressed-q{compress}" if compress else "raw-big-key"),
         "reps_s": [round(r, 3) for r in reps],
         "reps_kept": len(kept),
     }))
     return 0
+
+
+def _stage_dissection(client, sks_dev, params, n_blocks):
+    """ks/pbs/pfks/vp ms at the bench batch (bench_round.py's method, 2 reps,
+    checksum readback). Per-round-equivalent: each stage runs once per round
+    per SBOX batch, so these ARE ms/round figures (with a ~20ms dispatch
+    constant each — PERF.md stage table)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tfhe_aes2_tpu.ops import blind_rotate as br
+    from tfhe_aes2_tpu.ops import circuit_bootstrap as cbs_ops
+    from tfhe_aes2_tpu.ops import keyswitch as ks
+
+    p = params
+    rng = np.random.default_rng(0)
+    nbits = n_blocks * 128
+    big = jnp.asarray(client.encrypt_bits(rng.integers(0, 2, nbits)))
+    lut24 = jnp.asarray(cbs_ops.generate_lut(
+        8, 24, lambda v: int(rng.integers(0, 1 << 24)), p))
+
+    out = {}
+
+    def timed(name, fn, *args, vary=0):
+        def fn_sum(*a):
+            leaves = jax.tree_util.tree_leaves(fn(*a))
+            return sum(jnp.sum(x.astype(jnp.uint32)) for x in leaves)
+
+        f = jax.jit(fn_sum)
+        np.asarray(f(*args))                    # compile + first
+        dts = []
+        for i in range(2):
+            a = list(args)
+            a[vary] = jax.tree_util.tree_map(
+                lambda x: x + jnp.asarray(i + 1, x.dtype), a[vary])
+            jax.block_until_ready(a[vary])
+            t0 = time.time()
+            np.asarray(f(*a))
+            dts.append(time.time() - t0)
+        out[name] = round(min(dts) * 1000, 1)
+
+    timed("ks", lambda k, b: ks.keyswitch(b, k, p), sks_dev.ksk, big, vary=1)
+    dual = jax.jit(lambda k, b: ks.keyswitch(b, k, p))(sks_dev.ksk, big)
+    timed("pbs", lambda k, d: br.pbs_bit_to_level(d, k, p.cbs_base_log, p),
+          sks_dev.bsk, dual, vary=1)
+    lwe1 = jax.jit(lambda k, d: br.pbs_bit_to_level(
+        d, k, p.cbs_base_log, p))(sks_dev.bsk, dual)
+    timed("pfks", lambda k, x: ks.pfks_all(x, k, p), sks_dev.pfpksk, lwe1,
+          vary=1)
+    ggsw = jax.jit(lambda s, b: cbs_ops.circuit_bootstrap_bits(
+        b, s, p))(sks_dev, big)
+    ggsw_b = jax.block_until_ready(ggsw).reshape(
+        (n_blocks, 16, 8) + ggsw.shape[1:])
+    timed("vp", lambda g, l: cbs_ops.vertical_packing(g, l, p), ggsw_b, lut24,
+          vary=0)
+    print(f"[bench] stage ms/round: {out}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

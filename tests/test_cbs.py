@@ -143,3 +143,24 @@ def test_vertical_packing_pallas_mode_matches_matmul(keys_test, monkeypatch):
     got = client.decrypt_bits(out_pl)
     expect = (value * 131) & 0xF
     assert sum(int(b) << (3 - i) for i, b in enumerate(got)) == expect
+
+
+def test_vertical_packing_pair_glue_matches_u64_glue(keys_test, monkeypatch):
+    """The u32-pair stage loop (TFHE_VP_PAIR, default) against the u64 XLA
+    glue with the SAME pallas kernel — must be bit-exact including the active
+    noise-floor GGSW truncation (both paths drop the same planes)."""
+    import jax
+
+    client, sks = keys_test
+    p = client.params
+    cts, _ = _encrypt_value_bits(client, 0x5C, 8)
+    lut = cbs.generate_lut(8, 4, lambda v: (v ^ (v >> 3)) & 0xF, p)
+    sks_j = jax.tree_util.tree_map(jnp.asarray, sks)
+    ggsw = cbs.circuit_bootstrap_bits(jnp.asarray(cts), sks_j, p)
+    monkeypatch.setenv("TFHE_VP_PAIR", "0")
+    out_u64 = np.asarray(cbs.vertical_packing(
+        ggsw, jnp.asarray(lut), p, use_conv="pallas"))
+    monkeypatch.setenv("TFHE_VP_PAIR", "1")
+    out_pair = np.asarray(cbs.vertical_packing(
+        ggsw, jnp.asarray(lut), p, use_conv="pallas"))
+    np.testing.assert_array_equal(out_pair, out_u64)

@@ -56,3 +56,14 @@ def test_accumulate_partials():
             expect += (np.asarray(v).astype(np.int64).astype(np.uint64)
                        << np.uint64(8 * s))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_static_rot_pair():
+    rng = np.random.default_rng(44)
+    n = 16
+    p = _rand_u64(rng, (3, 2, n))
+    for t in [0, 1, 5, n - 1, n, n + 3, 2 * n - 1]:
+        expect = np.asarray(polynomial.monomial_mul_static(jnp.asarray(p), t))
+        got = np.asarray(up.to_u64(*up.static_rot(up.from_u64(jnp.asarray(p)),
+                                                  t, n)))
+        np.testing.assert_array_equal(got, expect, err_msg=f"t={t}")

@@ -119,11 +119,14 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
     rows = rows.reshape(batch + (t,) + rows.shape[-3:])            # [..., T, R, k+1, N]
 
     js_vp = 0
+    pair_mode = False
     if mode == "conv":
         flat_rows = rows.reshape((-1,) + rows.shape[-3:])
         planes = jax.vmap(polynomial.split_polys_for_conv)(flat_rows)
         planes = planes.reshape(batch + (t,) + planes.shape[-4:])  # [..., T, 8, O, R, N]
     elif mode == "pallas":
+        import os as _os
+
         from tfhe_aes2_tpu.ops import truncation
         from tfhe_aes2_tpu.ops.pallas import extprod
         # the GGSW selectors are circuit-bootstrap outputs: their noise floor
@@ -135,6 +138,64 @@ def vertical_packing(ggsw, luts, params: WopbsParams,
         planes = planes[:, js_vp:]
         planes = planes.reshape(batch + (t,) + planes.shape[-4:])
         # [..., T, 8-js, R, k+1, 2N]
+        # pair mode: the stage loop (sub, gadget decompose, rotate, add) runs
+        # on native (lo, hi) u32 pairs instead of XLA-emulated u64. Measured
+        # a wash at production (probe20: 25.2 vs 25.5 ms/call slope-timed —
+        # XLA's emulation of these add/shift-heavy ops is fine; the int64
+        # MULTIPLIES in ntt.py's Garner were the pathological case probe19
+        # caught). Kept as default for the smaller op graph and because the
+        # fused kernel already produces the pair; u64 exists only at
+        # entry/exit. Requires the fused kernel (the partials path
+        # recombines in XLA u64).
+        pair_mode = (_os.environ.get("TFHE_VP_FUSED", "1") != "0"
+                     and _os.environ.get("TFHE_VP_PAIR", "1") != "0"
+                     and _os.environ.get("TFHE_VP_NTT", "0") != "1")
+
+    if pair_mode:
+        from tfhe_aes2_tpu.ops import decomposition as dec
+        from tfhe_aes2_tpu.ops import u32pair as up
+        from tfhe_aes2_tpu.ops.pallas import extprod
+
+        b_flat = 1
+        for s in batch:
+            b_flat *= s
+        bound = dec.digit_bound(p.cbs_base_log)
+
+        def cmux_stage_pair(bit_idx, ct0, ct1):
+            diff = up.sub(ct1, ct0)
+            dl = up.decompose(diff, p.cbs_base_log, p.cbs_level)
+            # [..., k+1, N, L] -> rows r = u·L + l (decompose_glwe order)
+            dl = jnp.moveaxis(dl, -1, -2)
+            digits = dl.reshape(dl.shape[:-3]
+                                + (dl.shape[-3] * dl.shape[-2], dl.shape[-1]))
+            g_flat = 1
+            for s in digits.shape[len(batch): -2]:
+                g_flat *= s
+            d4 = digits.reshape((b_flat, g_flat) + digits.shape[-2:])
+            kp = planes[..., bit_idx, :, :, :, :]
+            kp = jnp.moveaxis(kp.reshape((b_flat,) + kp.shape[len(batch):]),
+                              1, 0)
+            lo, hi = extprod.polymul_digits_pallas_grouped_pair(
+                d4, kp, bound, j_start=js_vp)
+            out = (lo.reshape(diff[0].shape), hi.reshape(diff[0].shape))
+            return up.add(ct0, out)
+
+        acc = up.from_u64(acc)
+        for level in range(tree_bits):
+            bit_idx = tree_bits - 1 - level
+            even = (acc[0][..., 0::2, :, :], acc[1][..., 0::2, :, :])
+            odd = (acc[0][..., 1::2, :, :], acc[1][..., 1::2, :, :])
+            acc = cmux_stage_pair(bit_idx, even, odd)
+
+        acc = (acc[0][..., 0, :, :], acc[1][..., 0, :, :])    # [..., O, k+1, N]
+
+        for j in range(low_bits):
+            bit_idx = tree_bits + j
+            step = 1 << (low_bits - 1 - j)
+            rotated = up.static_rot(acc, 2 * n - step, n)
+            acc = cmux_stage_pair(bit_idx, acc, rotated)
+
+        return br.sample_extract0(up.to_u64(*acc))            # [..., O, kN+1]
 
     def cmux_stage(bit_idx, ct0, ct1, group_ndim):
         if mode == "matmul":

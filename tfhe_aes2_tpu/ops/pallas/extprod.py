@@ -1206,6 +1206,35 @@ def extprod_grouped_fused(dig, ext, n_d: int, interpret: bool | None = None,
     return out
 
 
+def polymul_digits_pallas_grouped_pair(digits, ext_planes, d_bound: int,
+                                       j_start: int = 0):
+    """Pair-domain form of polymul_digits_pallas_grouped: identical contract
+    but returns ((lo, hi) u32 [B, G, O, N]) instead of u64 — the fused kernel
+    already produces the pair in VMEM, and the vertical-packing stage loop
+    stays in u32-pair arithmetic (no XLA u64 emulation; probe19 measured the
+    u64 stage glue at ~2x the kernel itself)."""
+    import os
+
+    from tfhe_aes2_tpu.ops.torus import limbs_for_bound, split_int32_signed
+
+    assert os.environ.get("TFHE_VP_FUSED", "1") != "0", \
+        "pair path requires the fused VP kernel (TFHE_VP_FUSED)"
+    n_d = limbs_for_bound(d_bound)
+    d_planes = split_int32_signed(jnp.asarray(digits, jnp.int32), n_d)
+    b, g, r, n = digits.shape
+    dig = jnp.transpose(d_planes, (1, 3, 0, 2, 4)).reshape((b, r, n_d * g, n))
+    ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))
+    # [B, O, R, 8-js, 2N]; env knobs read here, outside the jitted kernel,
+    # and threaded as static args so toggling retraces (repo convention)
+    pair = extprod_grouped_fused(
+        dig, ext, n_d=n_d, j_start=j_start,
+        per_o=os.environ.get("TFHE_VP_CELLS", "b") == "o",
+        nc_scratch=os.environ.get("TFHE_VP_NC_SCRATCH", "0") == "1")
+    lo = jnp.transpose(pair[:, :, 0], (0, 2, 1, 3))           # [B, G, O, N]
+    hi = jnp.transpose(pair[:, :, 1], (0, 2, 1, 3))
+    return lo, hi
+
+
 def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int,
                                   j_start: int = 0):
     """Drop-in for polynomial.polymul_digits_conv_grouped on the pallas path.
@@ -1226,27 +1255,13 @@ def polymul_digits_pallas_grouped(digits, ext_planes, d_bound: int,
     from tfhe_aes2_tpu.ops.torus import (limbs_for_bound, sext_i32_to_u64,
                                          split_int32_signed)
 
+    if os.environ.get("TFHE_VP_FUSED", "1") != "0":
+        lo, hi = polymul_digits_pallas_grouped_pair(digits, ext_planes,
+                                                    d_bound, j_start)
+        return lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+
     n_d = limbs_for_bound(d_bound)
     d_planes = split_int32_signed(jnp.asarray(digits, jnp.int32), n_d)
-
-    if os.environ.get("TFHE_VP_FUSED", "1") != "0":
-        b, g, r, n = digits.shape
-        dig = jnp.transpose(d_planes, (1, 3, 0, 2, 4)).reshape(
-            (b, r, n_d * g, n))
-        ext = jnp.transpose(ext_planes, (1, 3, 2, 0, 4))
-        # [B, O, R, 8-js, 2N]; TFHE_VP_CELLS read here (outside the jit) and
-        # threaded as a static arg so toggling it retraces
-        # nc scratch default OFF here: the VP cell builds 25 sequential
-        # ladders and the single shared buffer serializes them — measured
-        # vp 53.99 -> 57.57 ms/round ON (2026-08-20), while the CMux step
-        # kernel (2 ladders/cell, dot-bound) measured pbs 1003.7 -> 995.0 ON
-        pair = extprod_grouped_fused(
-            dig, ext, n_d=n_d, j_start=j_start,
-            per_o=os.environ.get("TFHE_VP_CELLS", "b") == "o",
-            nc_scratch=os.environ.get("TFHE_VP_NC_SCRATCH", "0") == "1")
-        out = (pair[:, :, 0].astype(jnp.uint64)
-               | (pair[:, :, 1].astype(jnp.uint64) << jnp.uint64(32)))
-        return jnp.transpose(out, (0, 2, 1, 3))               # [B, G, O, N]
 
     parts = extprod_partials_grouped(d_planes, ext_planes, j_start=j_start)
     out = None                                                 # [8, B, G, O, N]

@@ -56,6 +56,22 @@ def _shift_pow2(pair, shift: int, n: int):
             jnp.concatenate([tail_hi, hi[..., : n - shift]], axis=-1))
 
 
+def static_rot(pair, t: int, n: int):
+    """X^t · p for a STATIC integer t in [0, 2N) on a (lo, hi) pair [..., N]
+    — the pair form of polynomial.monomial_mul_static: slice+concat+negate,
+    no gather, no u64 emulation (the vertical-packing rotation stages use a
+    compile-time step)."""
+    t = t % (2 * n)
+    if t == 0:
+        return pair
+    if t >= n:
+        return neg(static_rot(pair, t - n, n))
+    lo, hi = pair
+    head_lo, head_hi = neg((lo[..., n - t:], hi[..., n - t:]))
+    return (jnp.concatenate([head_lo, lo[..., : n - t]], axis=-1),
+            jnp.concatenate([head_hi, hi[..., : n - t]], axis=-1))
+
+
 def monomial_mul(pair, t, n: int):
     """X^t · p on (lo, hi) [..., N]; t int32 [...] (broadcastable to the
     batch dims) in [0, 2N).
