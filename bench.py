@@ -78,6 +78,29 @@ def main() -> int:
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()} "
           f"params={which} blocks={n_blocks} rounds={rounds}", file=sys.stderr)
 
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
+    strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+
+    # AOT warm-up: compile (or cache-deserialize) every production program
+    # concurrently on background threads, overlapping keygen + transfer +
+    # client-side encryption — the shapes derive from the parameter set
+    # alone (tfhe_aes2_tpu/aot.py; VERDICT r3 #1). BENCH_AOT=0 disables.
+    handle = None
+    handle1 = None
+    if os.environ.get("BENCH_AOT", "1") != "0":
+        from tfhe_aes2_tpu import aot
+        t0 = time.time()
+        handle = aot.warmup_staged(strategy, params, n_blocks, rounds,
+                                   compress)
+        if os.environ.get("BENCH_LATENCY", "1") != "0" and rounds == 10 \
+                and n_blocks != 1:
+            # the 1-block latency programs, without re-warming the
+            # (batch-independent) key-schedule halves
+            handle1 = aot.warmup_staged(strategy, params, 1, rounds,
+                                        compress, ks_programs=False)
+        print(f"[bench] aot warmup launched ({time.time()-t0:.1f}s)",
+              file=sys.stderr)
+
     t0 = time.time()
     client, sks = keys_mod.generate_keys(params, seed=11)
     print(f"[bench] keygen {time.time()-t0:.1f}s", file=sys.stderr)
@@ -94,9 +117,11 @@ def main() -> int:
     key_ct = fhe_encryption.encrypt_byte_array(client, key)
     block_cts = fhe_encryption.encrypt_blocks(client, blocks_clear)
 
-    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
-    strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
     ctx = FheContext(params=params, sks=sks_dev)
+    if handle is not None:
+        handle.attach(ctx)
+    if handle1 is not None:
+        handle1.attach(ctx)
 
     # key expansion (timed separately — main.rs:130-139)
     t0 = time.time()
@@ -108,8 +133,9 @@ def main() -> int:
     if compress:
         from functools import partial
         from tfhe_aes2_tpu.ops import compression
-        compress_fn = jax.jit(partial(compression.compress_bits,
-                                      params=params, log2q=compress))
+        compress_fn = (handle.compress_fn() if handle is not None else None) \
+            or jax.jit(partial(compression.compress_bits,
+                               params=params, log2q=compress))
 
     def run_once():
         out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_dev,
@@ -177,11 +203,13 @@ def main() -> int:
         # ONE block end to end: encrypt -> 10 rounds -> compress -> verify
         blk1_clear = ctr_blocks(iv, 1)
         blk1 = jnp.asarray(fhe_encryption.encrypt_blocks(client, blk1_clear))
+        compress1 = (handle1.compress_fn() if handle1 is not None else None) \
+            or (compress and compress_fn)
         for attempt in range(2):   # first run pays the 1-block compile
             t0 = time.time()
             out1 = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blk1,
                                                  rounds)
-            out1 = (np.asarray(compress_fn(out1.array, ctx.sks)) if compress
+            out1 = (np.asarray(compress1(out1.array, ctx.sks)) if compress
                     else np.asarray(out1.array))
             t_blk1 = time.time() - t0
         got1 = (compression.decrypt_blocks_compressed(client, out1, compress)
@@ -203,6 +231,13 @@ def main() -> int:
         latency["scenario_10_outputs_s"] = round(t_sc, 3)
         print(f"[bench] 10-output scenario {t_sc:.2f}s "
               f"({n_runs} x {n_blocks}-block batches)", file=sys.stderr)
+
+    # refresh the committed serialized-executable artifacts (aot_cache/)
+    if handle is not None and os.environ.get("BENCH_AOT_DUMP", "0") == "1":
+        from tfhe_aes2_tpu import aot
+        aot.dump(handle)
+        if handle1 is not None:
+            aot.dump(handle1)
 
     # ---- per-stage dissection + audit constants (VERDICT r3 #8) --------
     stages = {}

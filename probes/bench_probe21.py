@@ -92,9 +92,9 @@ def main() -> int:
             b + it.astype(jnp.uint64), k, p).astype(jnp.uint32),
             big, sks_dev.ksk)
 
-    dual = jax.jit(lambda b: ks.keyswitch(b, sks_dev.ksk, p))(big)
-    lwe1 = jax.jit(lambda d: br.pbs_bit_to_level(
-        d, sks_dev.bsk, p.cbs_base_log, p))(dual)
+    dual = jax.jit(lambda b, k: ks.keyswitch(b, k, p))(big, sks_dev.ksk)
+    lwe1 = jax.jit(lambda d, k: br.pbs_bit_to_level(
+        d, k, p.cbs_base_log, p))(dual, sks_dev.bsk)
     jax.block_until_ready(lwe1)
 
     if "pfks" in which:

@@ -1,0 +1,285 @@
+"""Ahead-of-time warm-up of the production staged programs (instant start).
+
+The staged serving path (aes_128/fhe.py) dispatches ~5 compiled programs:
+two key-schedule halves (split at the boot boundary), the middle-rounds
+scan, the final round, and the response compressor. The reference binary is
+pure compute and starts instantly (main.rs:130-139); here a fresh process
+paid, serially, (a) a per-process execute-channel constant on the tunneled
+device (measured 20-75s — absorbed by ANY first dispatch, however trivial:
+probe22 + PERF.md round-4 cold-start table), (b) per-program tracing
+(~10s each, GIL-bound), and (c) XLA compilation or persistent-cache
+deserialization (~3-20s each).
+
+This module removes the wall three ways:
+
+1. **Channel absorber** — a background thread fires a trivial dispatch the
+   moment warm-up starts, so the per-process channel constant overlaps
+   keygen / key transfer / client encryption instead of landing on the
+   first key-expansion dispatch.
+2. **Parallel compile** — all programs trace+compile concurrently on a
+   thread pool (XLA releases the GIL in C++); pending-compile wrappers are
+   installed into the FheContext kernel cache under the exact keys the
+   staged path uses, so an early dispatch blocks on its own program only.
+3. **Serialized-executable artifacts** — jax.experimental
+   .serialize_executable round-trips a compiled program in ~0.1s (25MB for
+   the key-schedule half). `dump()` writes every warmed program plus a
+   manifest (jax version, device kind, the env knobs that change the traced
+   program) to an artifact dir; a later process whose manifest matches
+   skips tracing AND compilation entirely. On any mismatch or load failure
+   the program falls back to the plain jit path — artifacts can never make
+   a run fail that would otherwise succeed (and bench.py decrypt-verifies
+   end to end regardless).
+
+Usage (bench.py / serve.py):
+
+    handle = aot.warmup_staged(strategy, params, n_blocks)   # returns fast
+    ... keygen / transfer / encrypt ...
+    ctx = FheContext(params=params, sks=sks_dev)
+    handle.attach(ctx)
+    ... key_schedule_staged / encrypt_blocks_staged as usual ...
+    aot.dump(handle)        # optional: refresh the committed artifacts
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import sys
+import threading
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _log(msg):
+    print(f"[aot] {msg}", file=sys.stderr, flush=True)
+
+
+DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "aot_cache")
+
+# env knobs that change the TRACED program (kernel selection, truncation,
+# glue variants) — recorded in the artifact manifest; a mismatch falls back
+# to trace+compile so a stale artifact can never run under wrong settings.
+_TRACE_KNOBS = (
+    "TFHE_BR_KERNEL", "TFHE_BR_GLUE", "TFHE_BR_MODE", "TFHE_BR_UNROLL",
+    "TFHE_BR_MSTACK2", "TFHE_NC_SCRATCH", "TFHE_BSK_TRUNC", "TFHE_KSK_TRUNC",
+    "TFHE_VP_TRUNC", "TFHE_TRUNC_BUDGET", "TFHE_VP_FUSED", "TFHE_VP_PAIR",
+    "TFHE_VP_CELLS", "TFHE_VP_NC_SCRATCH", "TFHE_VP_NTT", "TFHE_MM_FUSED",
+)
+
+
+def _env_fingerprint() -> dict:
+    return {k: os.environ.get(k) for k in _TRACE_KNOBS}
+
+
+def _runtime_fingerprint() -> dict:
+    dev = jax.devices()[0]
+    return {"jax": jax.__version__,
+            "platform": dev.platform,
+            "device_kind": dev.device_kind}
+
+
+class _Pending:
+    """Callable placeholder for a program still loading/compiling.
+
+    Blocks on first call; on failure falls back to the plain jit path
+    (make_fn) so AOT can never make a run fail that would otherwise
+    succeed."""
+
+    def __init__(self, name: str, future: Future, make_fn):
+        self.name = name
+        self.future = future
+        self.make_fn = make_fn
+        self._fallback = None
+
+    def __call__(self, *args):
+        try:
+            compiled = self.future.result()
+            return compiled(*args)
+        except Exception as ex:  # noqa: BLE001 — deliberate safety net
+            if self._fallback is None:
+                _log(f"{self.name}: AOT failed ({type(ex).__name__}: {ex}); "
+                     "falling back to jit")
+                self._fallback = self.make_fn()
+            return self._fallback(*args)
+
+
+class WarmupHandle:
+    def __init__(self, entries, specs, artifact_dir):
+        self.entries = entries          # {cache_key: _Pending}
+        self.specs = specs
+        self.artifact_dir = artifact_dir
+
+    def attach(self, ctx) -> None:
+        """Install the (possibly still compiling) programs into `ctx`'s
+        staged-kernel cache under the exact keys aes_128/fhe.py uses."""
+        cache = getattr(ctx, "_cbs_kernel_cache", None)
+        if cache is None:
+            cache = ctx._kernel_cache
+        for key, pending in self.entries.items():
+            cache.setdefault(key, pending)
+
+    def compress_fn(self):
+        """The response-compression program (bench/serving), if warmed."""
+        for key, pending in self.entries.items():
+            if key == "compress" or (isinstance(key, tuple)
+                                     and key[0] == "compress"):
+                return pending
+        return None
+
+    def wait(self, timeout=None) -> None:
+        for pending in self.entries.values():
+            pending.future.result(timeout)
+
+
+def _slug(key) -> str:
+    if isinstance(key, str):
+        return key
+    parts = [str(key[0])]
+    for p in key[1:]:
+        parts.append("x".join(str(x) for x in p) if isinstance(p, tuple)
+                     else str(p))
+    return "-".join(parts)
+
+
+def staged_program_specs(strategy, params, n_blocks: int, rounds: int = 10,
+                         compress: int = 16, ks_programs: bool = True):
+    """{cache_key: (make_jit_fn, abstract_args)} for the production staged
+    path — cache_keys match aes_128/fhe.py's _kernel calls exactly.
+    ks_programs=False skips the (batch-independent) key-schedule halves,
+    for warming extra batch shapes without recompiling them."""
+    from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
+    from tfhe_aes2_tpu.ops import keys as keys_mod
+
+    raw = keys_mod.server_key_shapes(params)
+    prepared = jax.eval_shape(
+        lambda t: keys_mod.prepare_server_keys(t, params), raw)
+    n1 = params.big_lwe_dimension + 1
+    sd = lambda *s: jax.ShapeDtypeStruct(s, jnp.uint64)
+    blocks_shape = (n_blocks, 16, 8, n1)
+
+    specs = {}
+    if ks_programs:
+        specs["ks_subxor"] = (
+            lambda: jax.jit(partial(fhe_mod._staged_ks_subxor, strategy,
+                                    params)),
+            (prepared, sd(4, 4, 8, n1),
+             jax.ShapeDtypeStruct((8,), jnp.uint8)))
+        specs["ks_boot"] = (
+            lambda: jax.jit(partial(fhe_mod._staged_ks_boot, strategy,
+                                    params)),
+            (prepared, sd(4, 4, 8, n1)))
+    specs[("round_fin", blocks_shape)] = (
+        lambda: jax.jit(partial(fhe_mod._staged_round, strategy, params,
+                                True)),
+        (prepared, sd(*blocks_shape), sd(16, 8, n1)))
+    if rounds > 1:
+        specs[("rounds_scan", blocks_shape, rounds)] = (
+            lambda: jax.jit(partial(fhe_mod._staged_rounds_scan, strategy,
+                                    params)),
+            (prepared, sd(*blocks_shape), sd(rounds - 1, 16, 8, n1)))
+    if compress:
+        from tfhe_aes2_tpu.ops import compression
+        # keyed by shape: the 1-block latency warmup would otherwise collide
+        # with the batch program in the artifact store
+        specs[("compress", blocks_shape)] = (
+            lambda: jax.jit(partial(compression.compress_bits, params=params,
+                                    log2q=compress)),
+            (sd(*blocks_shape), prepared))
+    return specs
+
+
+def _absorb_channel():
+    """Fire a trivial dispatch: the tunneled device charges a per-process
+    execute-channel constant (20-75s measured) to whatever executes first —
+    pay it here, concurrently with keygen, instead of on the first
+    key-expansion dispatch."""
+    import numpy as np
+
+    t0 = time.time()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8, 128), jnp.uint32)))
+    _log(f"execute channel ready in {time.time()-t0:.1f}s")
+
+
+def warmup_staged(strategy, params, n_blocks: int, rounds: int = 10,
+                  compress: int = 16, threads: int | None = None,
+                  artifact_dir: str | None = None, ks_programs: bool = True,
+                  verbose: bool = True) -> WarmupHandle:
+    """Start loading/compiling every production program on a background
+    thread pool (artifacts first, trace+compile otherwise) and absorb the
+    execute-channel constant. Returns immediately; attach() the handle to
+    the serving FheContext.
+
+    artifact_dir: serialized-executable store (default TFHE_AOT_DIR or
+    <repo>/aot_cache); "0" disables artifacts."""
+    if artifact_dir is None:
+        artifact_dir = os.environ.get("TFHE_AOT_DIR", DEFAULT_DIR)
+    specs = staged_program_specs(strategy, params, n_blocks, rounds, compress,
+                                 ks_programs)
+    pool = ThreadPoolExecutor(threads or (len(specs) + 1),
+                              thread_name_prefix="tfhe-aot")
+    if ks_programs:
+        pool.submit(_absorb_channel)
+    entries = {}
+
+    def load_or_compile(key, make_fn, shapes):
+        name = _slug(key)
+        path = os.path.join(artifact_dir, name)
+        if artifact_dir != "0" and os.path.exists(path + ".json"):
+            try:
+                with open(path + ".json") as f:
+                    manifest = json.load(f)
+                want = {**_runtime_fingerprint(), "env": _env_fingerprint()}
+                if manifest == want:
+                    from jax.experimental import serialize_executable as se
+                    t0 = time.time()
+                    with open(path + ".jaxexe", "rb") as f:
+                        payload, in_tree, out_tree = pickle.load(f)
+                    compiled = se.deserialize_and_load(payload, in_tree,
+                                                       out_tree)
+                    if verbose:
+                        _log(f"{name}: artifact loaded in "
+                             f"{time.time()-t0:.1f}s")
+                    return compiled
+                if verbose:
+                    diff = {k for k in want if manifest.get(k) != want[k]}
+                    _log(f"{name}: artifact stale ({', '.join(sorted(diff))}"
+                         " changed); recompiling")
+            except Exception as ex:  # noqa: BLE001
+                _log(f"{name}: artifact load failed ({ex}); recompiling")
+        t0 = time.time()
+        compiled = make_fn().lower(*shapes).compile()
+        if verbose:
+            _log(f"{name}: compiled in {time.time()-t0:.1f}s")
+        return compiled
+
+    # submission order = priority: the key-schedule halves are needed first
+    for key, (make_fn, shapes) in specs.items():
+        fut = pool.submit(load_or_compile, key, make_fn, shapes)
+        entries[key] = _Pending(_slug(key), fut, make_fn)
+    pool.shutdown(wait=False)
+    return WarmupHandle(entries, specs, artifact_dir)
+
+
+def dump(handle: WarmupHandle, artifact_dir: str | None = None) -> None:
+    """Serialize every warmed program + manifest into the artifact dir
+    (commit the dir to ship instant warm starts to fresh checkouts)."""
+    from jax.experimental import serialize_executable as se
+
+    artifact_dir = artifact_dir or handle.artifact_dir
+    os.makedirs(artifact_dir, exist_ok=True)
+    manifest = {**_runtime_fingerprint(), "env": _env_fingerprint()}
+    for key, pending in handle.entries.items():
+        name = _slug(key)
+        compiled = pending.future.result()
+        payload, in_tree, out_tree = se.serialize(compiled)
+        with open(os.path.join(artifact_dir, name + ".jaxexe"), "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        with open(os.path.join(artifact_dir, name + ".json"), "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        _log(f"dumped {name} ({len(payload)/1e6:.1f}MB)")

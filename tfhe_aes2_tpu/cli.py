@@ -72,9 +72,25 @@ def main(argv=None) -> int:
                 "lvl256": params_mod.PARAMS_SQRD_LVL_256,
                 "test": params_mod.PARAMS_TEST,
                 "test-n256": params_mod.PARAMS_TEST_N256}[args.params]
+        strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+        # AOT warm-up BEFORE keygen: programs load from the committed
+        # aot_cache (or compile on background threads) concurrently with key
+        # generation/transfer, and the tunneled device's per-process
+        # execute-channel constant is absorbed early (tfhe_aes2_tpu/aot.py).
+        handle = None
+        import os as _os
+        aot_env = _os.environ.get("TFHE_AOT", "")
+        import jax as _jax
+        if aot_env == "1" or (aot_env != "0"
+                              and _jax.default_backend() != "cpu"):
+            from tfhe_aes2_tpu import aot
+            handle = aot.warmup_staged(strategy, pset,
+                                       args.number_of_outputs, args.rounds,
+                                       args.compress_output or 0)
         print(f"generating keys ({args.params})...")
         client, ctx = model.generate_keys(pset, seed=args.seed)
-        strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+        if handle is not None:
+            handle.attach(ctx)
     elif args.implementation == "shortint-woppbs-8bit":
         from tfhe_aes2_tpu.models import shortint_woppbs_8bit as model
         print("generating keys (woppbs 8bit)...")

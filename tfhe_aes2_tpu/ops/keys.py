@@ -413,3 +413,22 @@ def generate_keys(params: WopbsParams, seed: int = 0) -> tuple[ClientKey, Server
             pksk[:, l, k, 0] += lwe_sk * g
 
     return client, ServerKeySet(bsk=bsk, ksk=ksk, pfpksk=pfpksk, pksk=pksk)
+
+
+def server_key_shapes(params: WopbsParams) -> ServerKeySet:
+    """ShapeDtypeStructs of a raw (u64) ServerKeySet at `params` — lets AOT
+    warm-up and partitioning checks lower+compile without paying keygen
+    (generate_keys layouts; prepared layouts via
+    jax.eval_shape(prepare_server_keys, ...))."""
+    import jax
+    import jax.numpy as jnp
+
+    p = params
+    n, k, big_n = p.lwe_dimension, p.glwe_dimension, p.polynomial_size
+    kn = k * big_n
+    sd = lambda *s: jax.ShapeDtypeStruct(s, jnp.uint64)
+    return ServerKeySet(
+        bsk=sd(n, p.pbs_level, k + 1, k + 1, big_n),
+        ksk=sd(kn, p.ks_level, n + 1),
+        pfpksk=sd(kn + 1, p.pfks_level, k + 1, k + 1, big_n),
+        pksk=sd(n, p.ks_level, k + 1, big_n))

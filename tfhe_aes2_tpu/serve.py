@@ -98,11 +98,27 @@ def serve(keys_path: str, address: str, one_shot: bool = False) -> None:
         from tfhe_aes2_tpu.ops import keys as keys_mod, serialization
 
         sks, params = serialization.load_server_keys(keys_path)
+        strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+        # AOT warm-up first: program loads/compiles + the execute-channel
+        # constant overlap the key transfer below (tfhe_aes2_tpu/aot.py).
+        # Batch shape unknown until the first request; warm the
+        # key-schedule halves (batch-independent) + the default serving
+        # batch, TFHE_SERVE_BLOCKS (16). Other shapes fall back to jit.
+        import os as _os
+        handle = None
+        aot_env = _os.environ.get("TFHE_AOT", "")
+        if aot_env == "1" or (aot_env != "0"
+                              and jax.default_backend() != "cpu"):
+            from tfhe_aes2_tpu import aot
+            handle = aot.warmup_staged(
+                strategy, params, int(_os.environ.get("TFHE_SERVE_BLOCKS",
+                                                      "16")))
         sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
         if jax.default_backend() != "cpu":
             sks_dev = keys_mod.prepare_server_keys(sks_dev, params)
         ctx = FheContext(params=params, sks=sks_dev)
-        strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
+        if handle is not None:
+            handle.attach(ctx)
 
         print("[serve] evaluation keys loaded", file=sys.stderr, flush=True)
         while True:
