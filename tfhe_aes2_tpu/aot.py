@@ -77,11 +77,30 @@ def _env_fingerprint() -> dict:
     return {k: os.environ.get(k) for k in _TRACE_KNOBS}
 
 
+def _source_digest() -> str:
+    """Hash of the package's .py sources: a serialized executable is only
+    valid for the code that traced it — any edit to the compute path must
+    invalidate the artifacts (they fall back to trace+compile)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                h.update(fn.encode())
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _runtime_fingerprint() -> dict:
     dev = jax.devices()[0]
     return {"jax": jax.__version__,
             "platform": dev.platform,
-            "device_kind": dev.device_kind}
+            "device_kind": dev.device_kind,
+            "source": _source_digest()}
 
 
 class _Pending:

@@ -170,7 +170,14 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
 
     acc = jnp.broadcast_to(jnp.asarray(acc_glwe, U64),
                            batch_shape + (p.glwe_dimension + 1, n))
-    acc = polynomial.monomial_mul(acc, ((2 * n - b_tilde) % (2 * n))[..., None])
+    t0 = (2 * n - b_tilde) % (2 * n)                      # X^{-b~} amount
+    if mode == "matmul":
+        # the conv/pallas branches apply t0 as a u32-pair binary ladder
+        # after the pair conversion instead: the u64 gather form
+        # (take_along_axis) measured 25.8 ms/call at production 8-block
+        # shapes vs 0.05 for the ladder (probe23) — TPU gathers are
+        # scalar-bound and this one ran once per PBS on the whole batch
+        acc = polynomial.monomial_mul(acc, t0[..., None])
 
     if not prepared:
         bsk_rows = jax.vmap(_bsk_rows)(jnp.asarray(bsk, U64))
@@ -216,7 +223,9 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
             if not prepared:
                 ext_or_all = jnp.transpose(bsk_planes, (0, 3, 2, 1, 4))
                 # [n_lwe, O(k1), R, 8-j_start, 2N]
-            acc_pair0 = up.from_u64(acc.reshape((batch_flat, k1, n)))
+            acc_pair0 = up.monomial_mul(
+                up.from_u64(acc.reshape((batch_flat, k1, n))),
+                t0.reshape((batch_flat,))[:, None], n)
             acc_of = jnp.stack([jnp.moveaxis(acc_pair0[0], -2, 0),
                                 jnp.moveaxis(acc_pair0[1], -2, 0)], axis=1)
 
@@ -317,7 +326,9 @@ def blind_rotate_glwe(lwe, bsk, acc_glwe, params: WopbsParams,
         if bsk_planes is None:                 # prepared BSK + xla glue
             bsk_planes = jnp.transpose(ext_or_all, (0, 3, 2, 1, 4))
 
-        acc_pair = up.from_u64(acc.reshape((batch_flat, k1, n)))
+        acc_pair = up.monomial_mul(
+            up.from_u64(acc.reshape((batch_flat, k1, n))),
+            t0.reshape((batch_flat,))[:, None], n)
 
         def step(acc_pair, xs):
             planes_i, a_i = xs
