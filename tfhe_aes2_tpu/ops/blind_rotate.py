@@ -96,17 +96,28 @@ def cmux_conv(kernel_planes, ct0, ct1, base_log: int, levels: int):
         kernel_planes, diff, base_log, levels)
 
 
+_BR_MODES = ("matmul", "conv", "pallas")
+
+
 def resolve_mode(mode: str | bool | None) -> str:
     """CMux lowering: 'matmul' (CPU f64 GEMM over negacirculants), 'conv'
     (int8 XLA convolutions) or 'pallas' (VMEM-negacirculant MXU kernel).
-    None/True -> TFHE_BR_MODE env or 'pallas' off-CPU, 'matmul' on CPU."""
+    None/True -> TFHE_BR_MODE env or 'pallas' off-CPU, 'matmul' on CPU.
+
+    Unknown mode strings are rejected: the conv/pallas branches apply the
+    entry X^{-b~} rotation inside their pair-ladder path, so a typo'd mode
+    falling through to the generic loop would silently skip the rotation
+    and produce wrong ciphertexts (ADVICE r4)."""
     import os
 
-    if isinstance(mode, str):
-        return mode
-    if jax.default_backend() == "cpu" and mode is not True:
-        return "matmul"
-    return os.environ.get("TFHE_BR_MODE", "pallas")
+    if not isinstance(mode, str):
+        if jax.default_backend() == "cpu" and mode is not True:
+            return "matmul"
+        mode = os.environ.get("TFHE_BR_MODE", "pallas")
+    if mode not in _BR_MODES:
+        raise ValueError(
+            f"unknown blind-rotate mode {mode!r}; expected one of {_BR_MODES}")
+    return mode
 
 
 def bsk_j_start(params: WopbsParams) -> int:
