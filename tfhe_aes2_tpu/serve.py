@@ -47,9 +47,42 @@ def unpack_msg(data: bytes):
     return meta, arrays
 
 
-def _handle(ctx, strategy, meta, arrays):
-    """One keystream request -> (meta, arrays) response."""
+_EKS_CACHE_MAX = 4   # expanded keys kept on device (~23MB each at lvl64)
+
+
+def _expanded_key(ctx, strategy, key_ct, eks_cache):
+    """FHE key expansion, cached by a digest of the key ciphertext bytes.
+
+    A CTR keystream service reuses one key across requests; the reference
+    expands once per scenario (main.rs:119,130-139). Re-expanding per
+    request re-paid ~3/4 of the single-block latency (VERDICT r4 #5).
+    LRU-bounded: entries hold device memory."""
+    import hashlib
+
     import jax.numpy as jnp
+
+    from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
+
+    digest = hashlib.sha256(np.ascontiguousarray(key_ct).tobytes()).hexdigest()
+    eks = eks_cache.pop(digest, None)
+    if eks is None:
+        print(f"[serve] expanding key {digest[:12]} (cache miss)",
+              file=sys.stderr, flush=True)
+        eks = fhe_mod.key_schedule_staged(strategy, ctx, jnp.asarray(key_ct))
+    else:
+        print(f"[serve] expanded-key cache hit {digest[:12]}",
+              file=sys.stderr, flush=True)
+    eks_cache[digest] = eks                    # (re-)insert as most recent
+    while len(eks_cache) > _EKS_CACHE_MAX:
+        eks_cache.pop(next(iter(eks_cache)))
+    return eks
+
+
+def _handle(ctx, strategy, meta, arrays, eks_cache):
+    """One keystream request -> (meta, arrays) response."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
 
     from tfhe_aes2_tpu.aes_128 import ctr_fhe, fhe as fhe_mod
     from tfhe_aes2_tpu.ops import compression
@@ -58,8 +91,7 @@ def _handle(ctx, strategy, meta, arrays):
     log2q = int(meta.get("compress", 16))
     count = int(meta.get("fhe_counter_count", 0))
 
-    eks = fhe_mod.key_schedule_staged(strategy, ctx,
-                                      jnp.asarray(arrays["key_ct"]))
+    eks = _expanded_key(ctx, strategy, arrays["key_ct"], eks_cache)
     blocks_arr = jnp.asarray(arrays["block_cts"])
     blocks_meta = None
     if count:
@@ -69,15 +101,22 @@ def _handle(ctx, strategy, meta, arrays):
     out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_arr,
                                         rounds, blocks_meta=blocks_meta)
     if log2q:
-        comp = compression.compress_bits(out.array, ctx.sks, ctx.params,
-                                         log2q)
+        # dispatch through the context kernel cache so the AOT-warmed
+        # compress program is used when present (ADVICE r4) and other
+        # shapes/levels compile once and are reused across requests
+        comp_fn = fhe_mod._kernel(
+            ctx, ("compress", jnp.shape(out.array), log2q),
+            lambda: jax.jit(partial(compression.compress_bits,
+                                    params=ctx.params, log2q=log2q)))
+        comp = comp_fn(out.array, ctx.sks)
         return ({"ok": True, "compress": log2q,
                  "shape": list(np.shape(comp))},
                 {"comp": np.asarray(comp)})
     return {"ok": True, "compress": 0}, {"out": np.asarray(out.array)}
 
 
-def serve(keys_path: str, address: str, one_shot: bool = False) -> None:
+def serve(keys_path: str, address: str, one_shot: bool = False,
+          max_requests: int | None = None) -> None:
     """Server main loop. Loads ONLY the evaluation-key bundle.
 
     The socket is bound BEFORE the jax import / key load so clients can
@@ -121,16 +160,21 @@ def serve(keys_path: str, address: str, one_shot: bool = False) -> None:
             handle.attach(ctx)
 
         print("[serve] evaluation keys loaded", file=sys.stderr, flush=True)
+        eks_cache = {}   # key-ct digest -> expanded key (insertion = LRU)
+        if one_shot:
+            max_requests = 1
+        served = 0
         while True:
             with listener.accept() as conn:
                 try:
                     meta, arrays = unpack_msg(conn.recv_bytes())
-                    resp = _handle(ctx, strategy, meta, arrays)
+                    resp = _handle(ctx, strategy, meta, arrays, eks_cache)
                 except Exception as e:  # report, don't kill the server
                     resp = ({"ok": False, "error": f"{type(e).__name__}: {e}"},
                             {})
                 conn.send_bytes(pack_msg(resp[0], **resp[1]))
-            if one_shot:
+            served += 1
+            if max_requests is not None and served >= max_requests:
                 return
 
 
@@ -158,9 +202,12 @@ def main(argv=None) -> int:
     ap.add_argument("--address", required=True, help="unix socket path")
     ap.add_argument("--one-shot", action="store_true",
                     help="serve a single request then exit")
+    ap.add_argument("--max-requests", type=int, default=None,
+                    help="exit after N requests (tests)")
     args = ap.parse_args(argv)
     import tfhe_aes2_tpu  # noqa: F401 (x64)
-    serve(args.keys, args.address, one_shot=args.one_shot)
+    serve(args.keys, args.address, one_shot=args.one_shot,
+          max_requests=args.max_requests)
     return 0
 
 
