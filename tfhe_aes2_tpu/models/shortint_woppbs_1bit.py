@@ -87,7 +87,13 @@ class FheContext:
         arr = lwe_ops.trivial_bits(jnp.asarray(np.asarray(bits)),
                                    self.params.big_lwe_dimension)
         shape = np.asarray(bits).shape
-        return BitCt(arr, np.zeros(shape, np.int64), _empty_ids(shape), self)
+        # degree = the literal bit where it is statically known (the
+        # reference's trivial path sets Degree::new(value))
+        degree = (np.asarray(bits).astype(np.int64)
+                  if not isinstance(bits, jax.core.Tracer)
+                  else np.ones(shape, np.int64))
+        return BitCt(arr, np.zeros(shape, np.int64), _empty_ids(shape), self,
+                     degree)
 
     def generate_lookup_table(self, input_bits: int, output_bits: int,
                               f: Callable[[int], int]) -> np.ndarray:
@@ -139,12 +145,23 @@ class BitCt:
     noise_sq / comps: per-lane metadata with shape lane_shape (batch lanes are
     statistically identical, so metadata is tracked once per lane, matching
     the reference's per-ciphertext tracking for each block independently).
+    degree: per-lane message-degree bound, the reference's `Degree` field
+    (wrap_in_shortint, shortint_woppbs_1bit.rs:405-417): the largest value
+    the encoded message can take — 1 for any encrypted/bootstrapped bit, the
+    literal bit for trivials, saturating-OR (min(a+b, 1)) under XOR since a
+    XOR of bits stays a bit. Defaults to 1 so lane-manipulation call sites
+    need not thread it; ops that know better (trivial_bits, XOR) set it.
     """
 
     array: jnp.ndarray
     noise_sq: np.ndarray      # int64 [lane_shape]
     comps: np.ndarray         # object [lane_shape] of frozenset
     context: FheContext
+    degree: np.ndarray = None  # int64 [lane_shape]
+
+    def __post_init__(self):
+        if self.degree is None:
+            self.degree = np.ones(self.noise_sq.shape, np.int64)
 
     @property
     def lane_shape(self):
@@ -164,7 +181,8 @@ class BitCt:
             raise NoiseError("noise components not independent")
         comps = np.frompyfunc(lambda a, b: a | b, 2, 1)(self.comps, rhs.comps)
         return BitCt(lwe_ops.add(self.array, rhs.array), noise_sq, comps,
-                     self.context)
+                     self.context,
+                     np.minimum(self.degree + rhs.degree, 1))
 
     # ---- lane manipulation (gathers carry metadata along) ----
 
@@ -176,13 +194,15 @@ class BitCt:
         arr_axis = self.array.ndim - 1 - n_lane + axis
         return type(self)(jnp.take(self.array, jnp.asarray(idx), axis=arr_axis),
                           np.take(self.noise_sq, idx, axis=axis),
-                          np.take(self.comps, idx, axis=axis), self.context)
+                          np.take(self.comps, idx, axis=axis), self.context,
+                          np.take(self.degree, idx, axis=axis))
 
     def reshape_lanes(self, *lane_shape) -> "BitCt":
         batch = self.array.shape[: self.array.ndim - 1 - len(self.lane_shape)]
         arr = self.array.reshape(batch + tuple(lane_shape) + self.array.shape[-1:])
         return type(self)(arr, self.noise_sq.reshape(lane_shape),
-                          self.comps.reshape(lane_shape), self.context)
+                          self.comps.reshape(lane_shape), self.context,
+                          self.degree.reshape(lane_shape))
 
     def slice_lanes(self, sl, axis: int = 0) -> "BitCt":
         """Slice one lane axis with python slice `sl`."""
@@ -195,7 +215,8 @@ class BitCt:
         meta_idx[axis] = sl
         return type(self)(self.array[tuple(indexer)],
                           self.noise_sq[tuple(meta_idx)],
-                          self.comps[tuple(meta_idx)], self.context)
+                          self.comps[tuple(meta_idx)], self.context,
+                          self.degree[tuple(meta_idx)])
 
     @classmethod
     def concat_lanes(cls, parts: list["BitCt"], axis: int = 0) -> "BitCt":
@@ -216,7 +237,8 @@ class BitCt:
         return cls(jnp.concatenate(arrays, axis=arr_axis),
                    np.concatenate([p.noise_sq for p in parts], axis=axis),
                    np.concatenate([p.comps for p in parts], axis=axis),
-                   parts[0].context)
+                   parts[0].context,
+                   np.concatenate([p.degree for p in parts], axis=axis))
 
 
 def meta_context(ctx: FheContext) -> FheContext:
