@@ -58,12 +58,23 @@ jax.config.update("jax_enable_x64", True)
 
 
 def _machine_tag() -> str:
+    # hash model name + flags, not flags alone: XLA:CPU AOT results embed
+    # model-dependent TUNING features (e.g. +prefer-no-gather) that two VMs
+    # with identical flags lines can disagree on — a flags-only tag let one
+    # machine deserialize another's entries and warn about SIGILL risk
+    # (MULTICHIP_r04 tail; VERDICT r4 weak #1)
     try:
+        lines = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    import hashlib
-                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+                if line.startswith(("flags", "model name", "model\t",
+                                    "vendor_id")):
+                    lines.append(line)
+                if len(lines) >= 4:
+                    break
+        if lines:
+            import hashlib
+            return hashlib.sha1("".join(lines).encode()).hexdigest()[:8]
     except OSError:
         pass
     import platform
