@@ -42,13 +42,15 @@ def _sbox_gal_mul(b: int) -> int:
             | gf_256_mul(int(SBOX[b]), 3))
 
 
-def _measure_noise_floor(params, dual_bar: float, out_bar: float):
+def _measure_noise_floor(params, dual_bar: float, out_bar: float, keys=None):
     """One production-geometry SBOX circuit bootstrap with ALL truncations
     active: decode must be exact and the phase-error stds must clear the
-    given bars (log2 std)."""
+    given bars (log2 std). `keys` reuses a session-cached (client, sks)
+    (tests/test_params_all_sets.py runs this for every reference set)."""
     import jax.numpy as jnp
 
-    client, sks = keys_mod.generate_keys(params, seed=5)
+    client, sks = keys if keys is not None else keys_mod.generate_keys(
+        params, seed=5)
 
     js_bsk = truncation.bsk_j_start(params)
     js_ksk = truncation.ksk_j_start(params)

@@ -312,24 +312,57 @@ def _staged_ks_boot(strategy, params, sks, group_arr):
     return strategy.pipeline.boot_word(ctx, group).array
 
 
+def _staged_ks_fused(strategy, params, sks, preboot_arr, rc_bits):
+    """Fused key-schedule step (VERDICT r4 #6): the boot of group g and the
+    SubWord bootstrap of group g+1 share ONE circuit-bootstrap front end
+    (key_schedule_fused_boot_sub — a single 677-step blind rotation for 160
+    lanes instead of two sequential scans whose cost is dominated by
+    batch-independent per-step work), then the cheap XOR epilogue builds
+    group g+1's preboot words. (sks, preboot_g [4,4,8,n1], rc bits [8]) ->
+    (booted_g, preboot_{g+1}). Still a single-blind-rotate XLA module, so
+    the probe15 compile blow-up of the old combined program does not apply."""
+    import numpy as _np
+    from tfhe_aes2_tpu.ops import lwe as lwe_ops
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import _empty_ids
+
+    ctx = strategy.make_context(params, sks)
+    preboot = strategy.fresh(preboot_arr, ctx, lane_ndim=3)    # [4, 4, 8]
+    booted, sub = strategy.pipeline.key_schedule_fused_boot_sub(ctx, preboot)
+    rc_arr = lwe_ops.trivial_bits(rc_bits, preboot.array.shape[-1] - 1)
+    rc = type(preboot)(rc_arr, _np.zeros((8,), _np.int64), _empty_ids((8,)),
+                       ctx)
+    nxt = strategy.pipeline.key_schedule_group_preboot(ctx, booted, None, rc,
+                                                       sub=sub)
+    return booted.array, nxt.array
+
+
 def key_schedule_staged(strategy, ctx, key_arr):
-    """FHE key expansion via one reused compiled group kernel (10 sequential
-    dispatches of 4-word groups).
+    """FHE key expansion via reused compiled group kernels.
+
+    Default (fused, TFHE_KS_FUSED=0 disables): 11 sequential dispatches —
+    subxor of group 1, then 9 fused steps each running [boot of group g ‖
+    SubWord of group g+1] through ONE shared circuit-bootstrap front end
+    (_staged_ks_fused), then the final boot. The old split path (20
+    dispatches, two scans per group) remains as the fallback.
 
     On the production model the TRUE noise metadata is threaded across the
-    program boundaries by shadow-tracing each group (_shadow_bitct), so the
-    served path runs the same always-on accounting as the whole-program jit
-    (reference shortint_woppbs_1bit.rs:134-142) and the returned BitCt
+    program boundaries by shadow-tracing each program (_shadow_bitct), so
+    the served path runs the same always-on accounting as the whole-program
+    jit (reference shortint_woppbs_1bit.rs:134-142) and the returned BitCt
     carries the real per-word metadata into the rounds."""
+    import os as os_
+
     import numpy as np_
     from tfhe_aes2_tpu.aes_128 import RC
 
     params = ctx.params
     if not hasattr(strategy.pipeline, "key_schedule_group_preboot"):
         return key_schedule_eager(strategy, ctx, key_arr)
-    # two programs per group, split at the boot (probe15: the combined
-    # two-blind-rotate program compiles ~3x slower than its halves and was
-    # the dominant cold-start item)
+    fused = (hasattr(strategy.pipeline, "key_schedule_fused_boot_sub")
+             and os_.environ.get("TFHE_KS_FUSED", "1") != "0")
+    # split at the boot either way (probe15: a TWO-blind-rotate program
+    # compiles ~3x slower than its halves and was the dominant cold-start
+    # item; the fused step keeps a SINGLE blind rotation per program)
     sub_fn = _kernel(ctx, "ks_subxor", lambda: jax.jit(
         partial(_staged_ks_subxor, strategy, params)))
     boot_fn = _kernel(ctx, "ks_boot", lambda: jax.jit(
@@ -337,22 +370,63 @@ def key_schedule_staged(strategy, ctx, key_arr):
 
     key_arr = jnp.asarray(key_arr)
     track = _tracks_meta(ctx)
-    groups = [key_arr.reshape((4, 4) + key_arr.shape[1:])]
-    if track:
-        first = fresh_bitct(groups[0], ctx, lane_ndim=3)
-        metas = [(first.noise_sq, first.comps)]
-    for g in range(1, 11):
-        rc_np = np_.unpackbits(np_.array([RC[g]], np_.uint8))
+    group0 = key_arr.reshape((4, 4) + key_arr.shape[1:])
+    rc_bits = lambda g: np_.unpackbits(np_.array([RC[g]], np_.uint8))
+
+    if not fused:
+        groups = [group0]
         if track:
-            def build(mctx, base, rc_np=rc_np):
-                prev = base.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
-                rc = mctx.trivial_bits(rc_np)
-                return strategy.pipeline.key_schedule_group(mctx, base, prev,
-                                                            rc)
+            first = fresh_bitct(groups[0], ctx, lane_ndim=3)
+            metas = [(first.noise_sq, first.comps)]
+        for g in range(1, 11):
+            rc_np = rc_bits(g)
+            if track:
+                def build(mctx, base, rc_np=rc_np):
+                    prev = base.slice_lanes(slice(3, 4),
+                                            axis=0).reshape_lanes(4, 8)
+                    rc = mctx.trivial_bits(rc_np)
+                    return strategy.pipeline.key_schedule_group(mctx, base,
+                                                                prev, rc)
+                metas.append(_shadow_bitct(
+                    ctx, build, [BitCt(groups[-1], *metas[-1], ctx)]))
+            groups.append(boot_fn(ctx.sks, sub_fn(ctx.sks, groups[-1],
+                                                  jnp.asarray(rc_np))))
+    else:
+        fused_fn = _kernel(ctx, "ks_fused", lambda: jax.jit(
+            partial(_staged_ks_fused, strategy, params)))
+        groups = [group0]
+        if track:
+            first = fresh_bitct(group0, ctx, lane_ndim=3)
+            metas = [(first.noise_sq, first.comps)]
+
+            def build0(mctx, base):
+                prev = base.slice_lanes(slice(3, 4),
+                                        axis=0).reshape_lanes(4, 8)
+                return strategy.pipeline.key_schedule_group_preboot(
+                    mctx, base, prev, mctx.trivial_bits(rc_bits(1)))
+            pre_meta = _shadow_bitct(ctx, build0,
+                                     [BitCt(group0, *metas[0], ctx)])
+        pre = sub_fn(ctx.sks, group0, jnp.asarray(rc_bits(1)))
+        for g in range(1, 10):
+            rc_np = rc_bits(g + 1)
+            if track:
+                def build(mctx, pre_ct, rc_np=rc_np):
+                    booted, sub = strategy.pipeline.key_schedule_fused_boot_sub(
+                        mctx, pre_ct)
+                    nxt = strategy.pipeline.key_schedule_group_preboot(
+                        mctx, booted, None, mctx.trivial_bits(rc_np), sub=sub)
+                    return BitCt.concat_lanes([booted, nxt], axis=0)
+                both = _shadow_bitct(ctx, build, [BitCt(pre, *pre_meta, ctx)])
+                metas.append((both[0][:4], both[1][:4]))
+                pre_meta = (both[0][4:], both[1][4:])
+            booted, pre = fused_fn(ctx.sks, pre, jnp.asarray(rc_np))
+            groups.append(booted)
+        if track:
             metas.append(_shadow_bitct(
-                ctx, build, [BitCt(groups[-1], *metas[-1], ctx)]))
-        groups.append(boot_fn(ctx.sks,
-                              sub_fn(ctx.sks, groups[-1], jnp.asarray(rc_np))))
+                ctx, lambda mctx, p: strategy.pipeline.boot_word(mctx, p),
+                [BitCt(pre, *pre_meta, ctx)]))
+        groups.append(boot_fn(ctx.sks, pre))
+
     eks_arr = jnp.concatenate(groups, axis=0)
     if track:
         return BitCt(eks_arr,

@@ -105,7 +105,7 @@ def encrypt_block_for_rounds(ctx: FheContext, expanded_key: BitCt,
 
 
 def key_schedule_group_preboot(ctx: FheContext, base: BitCt, prev: BitCt,
-                               rc_val_or_byte) -> BitCt:
+                               rc_val_or_byte, sub: BitCt | None = None) -> BitCt:
     """One group of four key-schedule words from the previous group, BEFORE
     the noise-reset boot: RotWord + SubWord (one 32-lane SBOX cbs) + the XOR
     chain (noise peaks at 12 « 64).
@@ -114,9 +114,14 @@ def key_schedule_group_preboot(ctx: FheContext, base: BitCt, prev: BitCt,
     SEPARATE programs: XLA's optimization passes go superlinear on the
     combined two-blind-rotate module (probe15: 8.8s + 22.6s for the halves
     vs 106.7s combined on an idle host — and the combined compile was the
-    835-902s tail item in BENCH_r02/r03 runs under host load)."""
-    rot = prev.take_lanes(np.array([1, 2, 3, 0]), axis=0)
-    sub = ctx.circuit_bootstrap(rot, sbox_lut(ctx))
+    835-902s tail item in BENCH_r02/r03 runs under host load).
+
+    sub: optionally the precomputed SubWord bootstrap output (the fused
+    staged path batches it with the PREVIOUS group's boot,
+    key_schedule_fused_boot_sub); prev is then unused."""
+    if sub is None:
+        rot = prev.take_lanes(np.array([1, 2, 3, 0]), axis=0)
+        sub = ctx.circuit_bootstrap(rot, sbox_lut(ctx))
     w0 = base.slice_lanes(slice(0, 1), axis=0).reshape_lanes(4, 8) ^ sub
     if isinstance(rc_val_or_byte, BitCt):
         rc = rc_val_or_byte
@@ -129,6 +134,25 @@ def key_schedule_group_preboot(ctx: FheContext, base: BitCt, prev: BitCt,
         ws.append(base.slice_lanes(slice(j, j + 1), axis=0).reshape_lanes(4, 8)
                   ^ ws[-1])
     return BitCt.concat_lanes([w.reshape_lanes(1, 4, 8) for w in ws], axis=0)
+
+
+def key_schedule_fused_boot_sub(ctx: FheContext, preboot: BitCt):
+    """Fused staged step: the identity noise-reset boot of a PREBOOT group
+    (128 one-bit lanes) and the NEXT group's RotWord/SubWord SBOX bootstrap
+    (32 lanes in 4 byte-groups) through ONE shared circuit-bootstrap front
+    end (one 677-step blind rotation instead of two sequential ones).
+
+    Feeding SubWord the group's last word BEFORE its boot is value-exact —
+    the boot is an identity LUT, so both ciphertexts encrypt the same word —
+    and noise-sound: the preboot word carries variance <= 12 of the 64
+    budget, far below what round inputs already present to the bootstrap
+    (depth-5 MixColumns outputs at ~33). Returns (booted group, sub)."""
+    flat = preboot.reshape_lanes(int(np.prod(preboot.lane_shape)), 1)
+    prev = preboot.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
+    rot = prev.take_lanes(np.array([1, 2, 3, 0]), axis=0)
+    booted_flat, sub = ctx.circuit_bootstrap_mixed(
+        [(flat, identity_lut(ctx)), (rot, sbox_lut(ctx))])
+    return booted_flat.reshape_lanes(*preboot.lane_shape), sub
 
 
 def key_schedule_group(ctx: FheContext, base: BitCt, prev: BitCt,

@@ -198,6 +198,12 @@ def staged_program_specs(strategy, params, n_blocks: int, rounds: int = 10,
                                     params)),
             (prepared, sd(4, 4, 8, n1),
              jax.ShapeDtypeStruct((8,), jnp.uint8)))
+        if os.environ.get("TFHE_KS_FUSED", "1") != "0":
+            specs["ks_fused"] = (
+                lambda: jax.jit(partial(fhe_mod._staged_ks_fused, strategy,
+                                        params)),
+                (prepared, sd(4, 4, 8, n1),
+                 jax.ShapeDtypeStruct((8,), jnp.uint8)))
         specs["ks_boot"] = (
             lambda: jax.jit(partial(fhe_mod._staged_ks_boot, strategy,
                                     params)),

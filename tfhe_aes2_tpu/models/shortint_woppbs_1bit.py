@@ -136,6 +136,49 @@ class FheContext:
         return BitCt(out, np.full(lane_shape, t, np.int64),
                      _fresh_ids(lane_shape), self)
 
+    def circuit_bootstrap_mixed(self, parts) -> list["BitCt"]:
+        """Several bootstrap requests through ONE shared circuit-bootstrap
+        front end (big->small keyswitch, scaling PBS, pfKS), split per
+        request only for the cheap vertical-packing lookups.
+
+        parts: list of (BitCt, lut) with DIFFERENT group sizes/LUTs — e.g.
+        the key schedule's 128 identity 1-bit boots batched with the next
+        group's 32 SubWord SBOX lanes (aes_128/sbox_gal_mul_pbs
+        .key_schedule_fused_boot_sub). The blind rotation is ~95% of a cbs
+        and is LUT-independent, so merging front ends nearly halves the key
+        schedule's sequential scan count (VERDICT r4 #6). Inputs must be
+        batchless (lane axes only); metadata rules per part match
+        circuit_bootstrap (noise = T_i, fresh components,
+        shortint_woppbs_1bit.rs:322-330).
+        """
+        n1 = self.params.big_lwe_dimension + 1
+        flats, metas = [], []
+        for bits, lut in parts:
+            assert bits.array.ndim == len(bits.lane_shape) + 1, \
+                "circuit_bootstrap_mixed takes batchless BitCts"
+            t = bits.array.shape[-2]
+            o = lut.shape[0]
+            flats.append(bits.array.reshape((-1, n1)))
+            metas.append((bits.lane_shape[:-1] + (o,), t))
+        if self.meta_only:
+            outs = [jnp.zeros(shape + (n1,), U64) for shape, _ in metas]
+        else:
+            ggsw = cbs_ops.circuit_bootstrap_bits(
+                jnp.concatenate(flats, axis=0), self.sks, self.params)
+            outs, off = [], 0
+            for (bits, lut), flat in zip(parts, flats):
+                t = bits.array.shape[-2]
+                nl = flat.shape[0]
+                g = ggsw[off:off + nl].reshape((nl // t, t) + ggsw.shape[1:])
+                out = cbs_ops.vertical_packing(g, jnp.asarray(lut),
+                                               self.params)
+                outs.append(out.reshape(bits.array.shape[:-2]
+                                        + (lut.shape[0], n1)))
+                off += nl
+        return [BitCt(out, np.full(shape, t, np.int64), _fresh_ids(shape),
+                      self)
+                for out, (shape, t) in zip(outs, metas)]
+
 
 @dataclass
 class BitCt:
