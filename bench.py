@@ -94,10 +94,12 @@ def main() -> int:
                                    compress)
         if os.environ.get("BENCH_LATENCY", "1") != "0" and rounds == 10 \
                 and n_blocks != 1:
-            # the 1-block latency programs, without re-warming the
-            # (batch-independent) key-schedule halves
+            # the 1-block latency programs (incl. the fused-scan latency
+            # path), without re-warming the (batch-independent)
+            # key-schedule halves
             handle1 = aot.warmup_staged(strategy, params, 1, rounds,
-                                        compress, ks_programs=False)
+                                        compress, ks_programs=False,
+                                        latency=True)
         print(f"[bench] aot warmup launched ({time.time()-t0:.1f}s)",
               file=sys.stderr)
 
@@ -215,12 +217,30 @@ def main() -> int:
         got1 = (compression.decrypt_blocks_compressed(client, out1, compress)
                 if compress else fhe_encryption.decrypt_blocks(client, out1))
         assert got1 == aes_lib.encrypt_blocks(key, blk1_clear), "1-block verify"
-        latency["latency_1block_s"] = round(t_exp_steady + t_blk1, 3)
         # a repeated request under the same key is served from serve.py's
         # expanded-key cache at block-only latency (VERDICT r4 #5)
         latency["reused_key_latency_s"] = round(t_blk1, 3)
-        print(f"[bench] 1-block latency {t_exp_steady + t_blk1:.2f}s "
+        print(f"[bench] 1-block split path {t_exp_steady + t_blk1:.2f}s "
               f"(expand {t_exp_steady:.2f} + block {t_blk1:.2f})",
+              file=sys.stderr)
+
+        # the fused-scan latency path: key expansion AND all rounds in 11
+        # shared blind rotations (fhe.encrypt_block_latency, VERDICT r4 #6)
+        for attempt in range(2):   # first run pays the lat-program compile
+            t0 = time.time()
+            outL = fhe_mod.encrypt_block_latency(strategy, ctx,
+                                                 jnp.asarray(key_ct), blk1)
+            outL = (np.asarray(compress1(outL.array, ctx.sks)) if compress
+                    else np.asarray(outL.array))
+            t_lat = time.time() - t0
+        gotL = (compression.decrypt_blocks_compressed(client, outL, compress)
+                if compress else fhe_encryption.decrypt_blocks(client, outL))
+        assert gotL == aes_lib.encrypt_blocks(key, blk1_clear), \
+            "latency-path verify"
+        latency["latency_1block_s"] = round(min(t_lat,
+                                                t_exp_steady + t_blk1), 3)
+        latency["latency_1block_fused_s"] = round(t_lat, 3)
+        print(f"[bench] 1-block latency (fused scans) {t_lat:.2f}s",
               file=sys.stderr)
 
         # the reference's canonical 10-output scenario (README.md:6):

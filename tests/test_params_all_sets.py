@@ -1,0 +1,130 @@
+"""Execute ALL FOUR reference parameter sets (VERDICT r4 #3).
+
+The reference instantiates key fixtures and runs encode/XOR/bootstrap tests
+under every shortint_woppbs_1bit parameter set
+(shortint_woppbs_1bit.rs:430-529, KEYS_SQRD_LVL_{1,4,64,256}); here the
+three non-production sets previously existed only as transcribed constants.
+These tests make a typo in any transcribed constant fail the suite:
+
+  * per set: LWE encode/decode roundtrip + trivials + XOR truth table
+    (mirrors :447-503) — real keygen at the real dimensions;
+  * per set: one production-geometry SBOX circuit bootstrap with every
+    limb-plane truncation active, decode-exact, with noise-floor bars from
+    the measured phase-error distribution (extends test_noise_floor's
+    method to the whole family; the reference's `noise-asserts` is on for
+    every build whatever parameters run, Cargo.toml:10);
+  * the lvl256 ↔ depth-11 `fhe_sbox_pbs` pairing as a light AES run — the
+    reference's passing combination
+    (fhe_impls/shortint_woppbs_1bit.rs:163-209) — behind the slow marker.
+
+Keygen runs once per set per session (the LazyLock KEYS_* pattern).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tfhe_aes2_tpu.ops import keys as keys_mod
+from tfhe_aes2_tpu.ops import lwe
+from tfhe_aes2_tpu.ops.params import (PARAMS_SQRD_LVL_1, PARAMS_SQRD_LVL_4,
+                                      PARAMS_SQRD_LVL_64, PARAMS_SQRD_LVL_256)
+
+# (params, expected js from the truncation criteria, dual/out noise bars in
+# log2 std units, measured 2026-08-21 on the CPU value-truncation emulation —
+# bars sit ~0.8 bits (≈3x variance) above the measured floor and far below
+# the 2^62 decode threshold, so they catch one-js-step regressions (2^16x)
+# and any transcription error that moves the noise model)
+SETS = {
+    "lvl1": (PARAMS_SQRD_LVL_1, (2, 5, 1, 4), 58.2, 59.8),     # meas 57.40/58.95
+    "lvl4": (PARAMS_SQRD_LVL_4, (2, 5, 1, 4), 58.2, 59.6),     # meas 57.41/58.76
+    "lvl64": (PARAMS_SQRD_LVL_64, (2, 5, 1, 4), 58.6, 59.2),   # meas 57.1/58.40
+    "lvl256": (PARAMS_SQRD_LVL_256, (2, 5, 1, 3), 57.6, 57.2),  # meas 56.78/56.38
+}
+
+def test_cli_param_dispatch():
+    """cli.py --params names map onto exactly the sets executed here (the
+    reference binary pairs sqrd_lvl_64 with its default implementation,
+    main.rs:83; the doc'd lvl256 pairing is tested below)."""
+    from tfhe_aes2_tpu.cli import param_choices
+
+    choices = param_choices()
+    for name, (params, *_rest) in SETS.items():
+        assert choices[name] is params
+
+
+_KEYS = {}
+
+
+def _keys(name):
+    if name not in _KEYS:
+        _KEYS[name] = keys_mod.generate_keys(SETS[name][0], seed=5)
+    return _KEYS[name]
+
+
+@pytest.mark.parametrize("name", list(SETS))
+def test_encode_decode_xor(name):
+    """Mirrors shortint_woppbs_1bit.rs:447-503 under each parameter set:
+    encrypt/decrypt roundtrip, trivials, XOR truth table."""
+    client, _ = _keys(name)
+    params = SETS[name][0]
+
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, 32)
+    cts = client.encrypt_bits(bits)
+    np.testing.assert_array_equal(client.decrypt_bits(cts), bits)
+
+    dim = params.big_lwe_dimension
+    triv = np.asarray(lwe.trivial_bits(jnp.asarray([0, 1]), dim))
+    np.testing.assert_array_equal(client.decrypt_bits(triv), [0, 1])
+
+    a = np.array([0, 0, 1, 1])
+    b = np.array([0, 1, 0, 1])
+    out = np.asarray(lwe.add(jnp.asarray(client.encrypt_bits(a)),
+                             jnp.asarray(client.encrypt_bits(b))))
+    np.testing.assert_array_equal(client.decrypt_bits(out), a ^ b)
+
+
+@pytest.mark.parametrize("name", ["lvl1", "lvl4", "lvl256"])
+def test_sbox_noise_floor(name):
+    """One SBOX+GalMul circuit bootstrap at the set's real geometry with all
+    truncations active: decode-exact + measured phase-error floors (the
+    lvl64 bar lives in test_noise_floor.py::test_production_noise_floor)."""
+    from tests.test_noise_floor import _measure_noise_floor
+
+    params, want_js, dual_bar, out_bar = SETS[name]
+    js, dual, out = _measure_noise_floor(params, dual_bar=dual_bar,
+                                         out_bar=out_bar, keys=_keys(name))
+    assert js == want_js, (name, js)
+
+
+@pytest.mark.slow
+def test_light_aes_lvl256_sbox_pbs():
+    """Light AES (2 rounds, clear key schedule) with pipeline A's leveled
+    Galois multiplication (XOR depth 11) under the sqrd_lvl_256 budget — the
+    reference's passing pairing (fhe_impls/shortint_woppbs_1bit.rs:163-209:
+    `test_light::<ShortintWoppbs1BitSboxPbsAesEncrypt>` over
+    KEYS_SQRD_LVL_256)."""
+    import jax
+
+    from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod, fhe_encryption, plain
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import FheContext
+
+    client, sks = _keys("lvl256")
+    ctx = FheContext(params=client.params,
+                     sks=jax.tree_util.tree_map(jnp.asarray, sks))
+    strategy = fhe_mod.ShortintWoppbs1BitSboxPbsAesEncrypt
+
+    rng = np.random.default_rng(42)
+    key = rng.integers(0, 256, 16, dtype=np.uint8).tobytes()
+    blocks = [rng.integers(0, 256, 16, dtype=np.uint8).tobytes()]
+    ks_ct = fhe_encryption.encrypt_word_array(client, plain.key_schedule(key))
+    block_cts = fhe_encryption.encrypt_blocks(client, blocks)
+
+    # staged execution (per-kernel programs — the monolithic 2-round program
+    # at N=1024 production shapes is a multi-hour XLA:CPU compile)
+    eks = fhe_mod.fresh_bitct(jnp.asarray(ks_ct), ctx, lane_ndim=3)
+    out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks,
+                                        jnp.asarray(block_cts), 2)
+    got = fhe_encryption.decrypt_blocks(client, np.asarray(out.array))
+    assert got == plain.expand_key_and_encrypt_blocks(key, blocks, 2)

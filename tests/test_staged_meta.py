@@ -68,6 +68,30 @@ def test_staged_meta_matches_whole_program(keys_test):
     assert got == expect
 
 
+def test_latency_path_matches_whole_program(keys_test):
+    """The single-block latency path (11 fused scans covering key expansion
+    AND all ten rounds, fhe.encrypt_block_latency) decrypts identically to
+    the oracle and threads the same metadata as the whole-program jit."""
+    client, ctx = _ctx(keys_test)
+    key = bytes(range(16))
+    key_ct = fhe_encryption.encrypt_byte_array(client, key)
+    blocks = ctr_blocks(bytes(8), 1)
+    block_cts = fhe_encryption.encrypt_blocks(client, blocks)
+
+    out = fhe_mod.encrypt_block_latency(STRATEGY, ctx, jnp.asarray(key_ct),
+                                        jnp.asarray(block_cts))
+    assert isinstance(out, BitCt)
+    got = fhe_encryption.decrypt_blocks(client, np.asarray(out.array))
+    assert got == plain.expand_key_and_encrypt_blocks(key, blocks, 10)
+
+    ref_noise, ref_comps = fhe_mod.whole_program_meta(
+        STRATEGY, ctx,
+        fresh_bitct(jnp.asarray(key_ct), ctx, lane_ndim=2),
+        fresh_bitct(jnp.asarray(block_cts), ctx, lane_ndim=2), 10)
+    assert np.array_equal(out.noise_sq, ref_noise)
+    assert np.array_equal(_sizes(out.comps), _sizes(ref_comps))
+
+
 def test_staged_first_ark_noise_budget_fires(keys_test):
     """The served path's first AddRoundKey validates the noise budget (the
     reference's NoiseTooBig panic) BEFORE any program dispatches."""

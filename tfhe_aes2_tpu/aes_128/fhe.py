@@ -435,6 +435,115 @@ def key_schedule_staged(strategy, ctx, key_arr):
     return strategy.fresh(eks_arr, ctx, lane_ndim=3)
 
 
+def _staged_lat_mid(strategy, params, sks, preboot_arr, state_arr, rc_bits):
+    """Latency-mode middle program: one shared cbs front end for [group-g
+    boot ‖ group-g+1 SubWord ‖ round-g SubBytes+GalMul] + cheap epilogues
+    (sbox_gal_mul_pbs.latency_fused_middle)."""
+    import numpy as _np
+    from tfhe_aes2_tpu.ops import lwe as lwe_ops
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import _empty_ids
+
+    ctx = strategy.make_context(params, sks)
+    preboot = strategy.fresh(preboot_arr, ctx, lane_ndim=3)
+    state = strategy.fresh(state_arr, ctx, lane_ndim=2)
+    rc_arr = lwe_ops.trivial_bits(rc_bits, preboot.array.shape[-1] - 1)
+    rc = type(preboot)(rc_arr, _np.zeros((8,), _np.int64), _empty_ids((8,)),
+                       ctx)
+    nxt, st = strategy.pipeline.latency_fused_middle(ctx, preboot, state, rc)
+    return nxt.array, st.array
+
+
+def _staged_lat_fin(strategy, params, sks, preboot_arr, state_arr):
+    """Latency-mode final program: [group-10 boot ‖ final SubBytes] + the
+    last ShiftRows/AddRoundKey."""
+    ctx = strategy.make_context(params, sks)
+    preboot = strategy.fresh(preboot_arr, ctx, lane_ndim=3)
+    state = strategy.fresh(state_arr, ctx, lane_ndim=2)
+    return strategy.pipeline.latency_fused_final(ctx, preboot, state).array
+
+
+def encrypt_block_latency(strategy, ctx, key_arr, block_arr):
+    """Single-block minimum-latency path: FHE key expansion AND all ten
+    rounds in 11 sequential fused scans (VERDICT r4 #6).
+
+    The device executes programs serially, so 1-block latency is the SUM of
+    scan times; the throughput path pays (11 key-schedule + 10 round) scans
+    whose per-step cost at tiny batch is dominated by batch-independent
+    work. Here round g's 128 SubBytes lanes ride the SAME blind rotation as
+    key-schedule group g's boot and group g+1's SubWord (288 lanes — the
+    marginal dot cost is small), because round g's AddRoundKey key is
+    exactly the group booted in that scan. 11 scans total.
+
+    key_arr [16, 8, n1]; block_arr [16, 8, n1] (or a leading batch axis of
+    1). Returns a BitCt with lanes [16, 8] (true threaded metadata on the
+    production model), decrypt-identical to the staged/whole-program paths.
+    """
+    import numpy as np_
+    from tfhe_aes2_tpu.aes_128 import RC
+
+    params = ctx.params
+    key_arr = jnp.asarray(key_arr)
+    block_arr = jnp.asarray(block_arr)
+    batched = block_arr.ndim == 4
+    if batched:
+        assert block_arr.shape[0] == 1, "latency path is single-block"
+        block_arr = block_arr[0]
+
+    sub_fn = _kernel(ctx, "ks_subxor", lambda: jax.jit(
+        partial(_staged_ks_subxor, strategy, params)))
+    mid_fn = _kernel(ctx, "lat_mid", lambda: jax.jit(
+        partial(_staged_lat_mid, strategy, params)))
+    fin_fn = _kernel(ctx, "lat_fin", lambda: jax.jit(
+        partial(_staged_lat_fin, strategy, params)))
+
+    group0 = key_arr.reshape((4, 4) + key_arr.shape[1:])
+    rc_bits = lambda g: np_.unpackbits(np_.array([RC[g]], np_.uint8))
+    track = _tracks_meta(ctx)
+
+    if track:
+        key_ct = fresh_bitct(group0, ctx, lane_ndim=3)
+        block_ct = fresh_bitct(block_arr, ctx, lane_ndim=2)
+        state_ct = block_ct ^ key_ct.reshape_lanes(16, 8)  # ARK0, eager
+        state, st_meta = state_ct.array, (state_ct.noise_sq, state_ct.comps)
+
+        def build0(mctx, base):
+            prev = base.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
+            return strategy.pipeline.key_schedule_group_preboot(
+                mctx, base, prev, mctx.trivial_bits(rc_bits(1)))
+        pre_meta = _shadow_bitct(ctx, build0, [key_ct])
+    else:
+        state = block_arr + key_arr
+    pre = sub_fn(ctx.sks, group0, jnp.asarray(rc_bits(1)))
+
+    for g in range(1, 10):
+        rc_np = rc_bits(g + 1)
+        if track:
+            def build(mctx, pre_ct, st_ct, rc_np=rc_np):
+                nxt, st = strategy.pipeline.latency_fused_middle(
+                    mctx, pre_ct, st_ct, mctx.trivial_bits(rc_np))
+                return BitCt.concat_lanes([nxt.reshape_lanes(16, 8), st],
+                                          axis=0)
+            both = _shadow_bitct(ctx, build,
+                                 [BitCt(pre, *pre_meta, ctx),
+                                  BitCt(state, *st_meta, ctx)])
+            pre_meta = (both[0][:16].reshape(4, 4, 8),
+                        both[1][:16].reshape(4, 4, 8))
+            st_meta = (both[0][16:], both[1][16:])
+        pre, state = mid_fn(ctx.sks, pre, state, jnp.asarray(rc_np))
+
+    if track:
+        out_meta = _shadow_bitct(
+            ctx, lambda mctx, p, s: strategy.pipeline.latency_fused_final(
+                mctx, p, s),
+            [BitCt(pre, *pre_meta, ctx), BitCt(state, *st_meta, ctx)])
+    out = fin_fn(ctx.sks, pre, state)
+    if batched:
+        out = out[None]
+    if track:
+        return BitCt(out, *out_meta, ctx)
+    return strategy.fresh(out, ctx, lane_ndim=2)
+
+
 def _staged_rounds_scan(strategy, params, sks, state_arr, kgs_arr):
     """All middle rounds in ONE program: lax.scan over the stacked round
     keys. Each program dispatch through a tunneled accelerator pays a

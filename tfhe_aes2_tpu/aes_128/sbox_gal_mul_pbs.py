@@ -155,6 +155,45 @@ def key_schedule_fused_boot_sub(ctx: FheContext, preboot: BitCt):
     return booted_flat.reshape_lanes(*preboot.lane_shape), sub
 
 
+def latency_fused_middle(ctx: FheContext, preboot: BitCt, state: BitCt,
+                         rc_val_or_byte):
+    """Latency-mode step g (single block): ONE shared cbs front end covers
+    [boot of key-schedule group g (128 lanes) ‖ SubWord of group g+1 (32)
+    ‖ round g's SubBytes+GalMul of the state (128 lanes, 8->24 LUT)], then
+    the cheap epilogues — the group-g+1 XOR chain and round g's ShiftRows/
+    MixColumns/AddRoundKey with the JUST-booted group as the round key.
+
+    Serial structure of the reference collapses to 11 scans for key
+    expansion + all rounds: device-serial latency ~= 11 x one 288-lane scan
+    instead of (11 + 10) scans (VERDICT r4 #6). state lanes [16, 8]
+    (batchless); returns (preboot_{g+1}, state_g)."""
+    flat = preboot.reshape_lanes(int(np.prod(preboot.lane_shape)), 1)
+    prev = preboot.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
+    rot = prev.take_lanes(np.array([1, 2, 3, 0]), axis=0)
+    booted_flat, sub, out24 = ctx.circuit_bootstrap_mixed(
+        [(flat, identity_lut(ctx)), (rot, sbox_lut(ctx)),
+         (state, sbox_gal_mul_lut(ctx))])
+    booted = booted_flat.reshape_lanes(*preboot.lane_shape)
+    nxt = key_schedule_group_preboot(ctx, booted, None, rc_val_or_byte,
+                                     sub=sub)
+    muls = tuple(dm.shift_rows(out24.slice_lanes(slice(8 * i, 8 * i + 8),
+                                                 axis=-1))
+                 for i in range(3))
+    rk = booted.reshape_lanes(16, 8)
+    return nxt, mix_columns(muls) ^ rk
+
+
+def latency_fused_final(ctx: FheContext, preboot: BitCt, state: BitCt):
+    """Latency-mode last step: [boot of group 10 ‖ final-round SubBytes]
+    through one cbs front end, then ShiftRows + the last AddRoundKey.
+    Returns the output state [16, 8]."""
+    flat = preboot.reshape_lanes(int(np.prod(preboot.lane_shape)), 1)
+    booted_flat, subbed = ctx.circuit_bootstrap_mixed(
+        [(flat, identity_lut(ctx)), (state, sbox_lut(ctx))])
+    rk = booted_flat.reshape_lanes(16, 8)
+    return dm.shift_rows(subbed) ^ rk
+
+
 def key_schedule_group(ctx: FheContext, base: BitCt, prev: BitCt,
                        rc_val_or_byte) -> BitCt:
     """One group of four key-schedule words from the previous group.

@@ -176,11 +176,13 @@ def _slug(key) -> str:
 
 
 def staged_program_specs(strategy, params, n_blocks: int, rounds: int = 10,
-                         compress: int = 16, ks_programs: bool = True):
+                         compress: int = 16, ks_programs: bool = True,
+                         latency: bool = False):
     """{cache_key: (make_jit_fn, abstract_args)} for the production staged
     path — cache_keys match aes_128/fhe.py's _kernel calls exactly.
     ks_programs=False skips the (batch-independent) key-schedule halves,
-    for warming extra batch shapes without recompiling them."""
+    for warming extra batch shapes without recompiling them. latency=True
+    adds the single-block fused-scan programs (encrypt_block_latency)."""
     from tfhe_aes2_tpu.aes_128 import fhe as fhe_mod
     from tfhe_aes2_tpu.ops import keys as keys_mod
 
@@ -208,6 +210,16 @@ def staged_program_specs(strategy, params, n_blocks: int, rounds: int = 10,
             lambda: jax.jit(partial(fhe_mod._staged_ks_boot, strategy,
                                     params)),
             (prepared, sd(4, 4, 8, n1)))
+    if latency:
+        specs["lat_mid"] = (
+            lambda: jax.jit(partial(fhe_mod._staged_lat_mid, strategy,
+                                    params)),
+            (prepared, sd(4, 4, 8, n1), sd(16, 8, n1),
+             jax.ShapeDtypeStruct((8,), jnp.uint8)))
+        specs["lat_fin"] = (
+            lambda: jax.jit(partial(fhe_mod._staged_lat_fin, strategy,
+                                    params)),
+            (prepared, sd(4, 4, 8, n1), sd(16, 8, n1)))
     specs[("round_fin", blocks_shape)] = (
         lambda: jax.jit(partial(fhe_mod._staged_round, strategy, params,
                                 True)),
@@ -252,7 +264,7 @@ def _absorb_channel():
 def warmup_staged(strategy, params, n_blocks: int, rounds: int = 10,
                   compress: int = 16, threads: int | None = None,
                   artifact_dir: str | None = None, ks_programs: bool = True,
-                  verbose: bool = True) -> WarmupHandle:
+                  latency: bool = False, verbose: bool = True) -> WarmupHandle:
     """Start loading/compiling every production program on a background
     thread pool (artifacts first, trace+compile otherwise) and absorb the
     execute-channel constant. Returns immediately; attach() the handle to
@@ -263,7 +275,7 @@ def warmup_staged(strategy, params, n_blocks: int, rounds: int = 10,
     if artifact_dir is None:
         artifact_dir = os.environ.get("TFHE_AOT_DIR", DEFAULT_DIR)
     specs = staged_program_specs(strategy, params, n_blocks, rounds, compress,
-                                 ks_programs)
+                                 ks_programs, latency)
     pool = ThreadPoolExecutor(threads or (len(specs) + 1),
                               thread_name_prefix="tfhe-aot")
     if ks_programs:

@@ -11,6 +11,20 @@ import logging
 import sys
 
 
+def param_choices():
+    """--params name -> parameter set (1-bit model). Module-level so tests
+    can pin the dispatch (every production set is executed by
+    tests/test_params_all_sets.py; this maps the CLI names onto them)."""
+    from tfhe_aes2_tpu.ops import params as params_mod
+
+    return {"lvl1": params_mod.PARAMS_SQRD_LVL_1,
+            "lvl4": params_mod.PARAMS_SQRD_LVL_4,
+            "lvl64": params_mod.PARAMS_SQRD_LVL_64,
+            "lvl256": params_mod.PARAMS_SQRD_LVL_256,
+            "test": params_mod.PARAMS_TEST,
+            "test-n256": params_mod.PARAMS_TEST_N256}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tfhe_aes2_tpu")
     ap.add_argument("--number-of-outputs", type=int, required=True)
@@ -65,13 +79,7 @@ def main(argv=None) -> int:
 
     if args.implementation == "shortint-woppbs-1bit":
         from tfhe_aes2_tpu.models import shortint_woppbs_1bit as model
-        from tfhe_aes2_tpu.ops import params as params_mod
-        pset = {"lvl1": params_mod.PARAMS_SQRD_LVL_1,
-                "lvl4": params_mod.PARAMS_SQRD_LVL_4,
-                "lvl64": params_mod.PARAMS_SQRD_LVL_64,
-                "lvl256": params_mod.PARAMS_SQRD_LVL_256,
-                "test": params_mod.PARAMS_TEST,
-                "test-n256": params_mod.PARAMS_TEST_N256}[args.params]
+        pset = param_choices()[args.params]
         strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
         # AOT warm-up BEFORE keygen: programs load from the committed
         # aot_cache (or compile on background threads) concurrently with key
