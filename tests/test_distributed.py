@@ -36,11 +36,13 @@ def _free_port() -> int:
 import pytest
 
 
-@pytest.mark.parametrize("layout", ["dp", "lane"])
+@pytest.mark.parametrize("layout", ["dp", "lane", "lanehost"])
 def test_two_process_cpu_distributed(layout):
     # dp: blocks over (host, chip) flattened; lane: blocks over 'host' and
     # the 16-byte AES axis over the 4 local 'chip' devices (the composed
-    # throughput x latency mapping). Bounded by communicate(timeout=540).
+    # throughput x latency mapping); lanehost: the byte axis over 'host' —
+    # intra-block sharding ACROSS process boundaries, the production-gate
+    # layout (multichip_gate.py). Bounded by communicate(timeout=540).
     port = _free_port()
     code = _WORKER.format(repo=REPO, port=port, layout=layout)
     env = dict(os.environ)

@@ -449,8 +449,9 @@ def _staged_lat_mid(strategy, params, sks, preboot_arr, state_arr, rc_bits):
     rc_arr = lwe_ops.trivial_bits(rc_bits, preboot.array.shape[-1] - 1)
     rc = type(preboot)(rc_arr, _np.zeros((8,), _np.int64), _empty_ids((8,)),
                        ctx)
-    nxt, st = strategy.pipeline.latency_fused_middle(ctx, preboot, state, rc)
-    return nxt.array, st.array
+    nxt, st, booted = strategy.pipeline.latency_fused_middle(ctx, preboot,
+                                                             state, rc)
+    return nxt.array, st.array, booted.array
 
 
 def _staged_lat_fin(strategy, params, sks, preboot_arr, state_arr):
@@ -459,10 +460,12 @@ def _staged_lat_fin(strategy, params, sks, preboot_arr, state_arr):
     ctx = strategy.make_context(params, sks)
     preboot = strategy.fresh(preboot_arr, ctx, lane_ndim=3)
     state = strategy.fresh(state_arr, ctx, lane_ndim=2)
-    return strategy.pipeline.latency_fused_final(ctx, preboot, state).array
+    out, booted = strategy.pipeline.latency_fused_final(ctx, preboot, state)
+    return out.array, booted.array
 
 
-def encrypt_block_latency(strategy, ctx, key_arr, block_arr):
+def encrypt_block_latency(strategy, ctx, key_arr, block_arr,
+                          return_eks: bool = False):
     """Single-block minimum-latency path: FHE key expansion AND all ten
     rounds in 11 sequential fused scans (VERDICT r4 #6).
 
@@ -477,7 +480,10 @@ def encrypt_block_latency(strategy, ctx, key_arr, block_arr):
     key_arr [16, 8, n1]; block_arr [16, 8, n1] (or a leading batch axis of
     1). Returns a BitCt with lanes [16, 8] (true threaded metadata on the
     production model), decrypt-identical to the staged/whole-program paths.
-    """
+    return_eks=True additionally returns the full expanded key assembled
+    from the booted groups the scans computed anyway — serve.py caches it
+    so follow-up requests under the same key run the batch path without
+    re-expansion."""
     import numpy as np_
     from tfhe_aes2_tpu.aes_128 import RC
 
@@ -515,11 +521,12 @@ def encrypt_block_latency(strategy, ctx, key_arr, block_arr):
         state = block_arr + key_arr
     pre = sub_fn(ctx.sks, group0, jnp.asarray(rc_bits(1)))
 
+    groups = [group0]
     for g in range(1, 10):
         rc_np = rc_bits(g + 1)
         if track:
             def build(mctx, pre_ct, st_ct, rc_np=rc_np):
-                nxt, st = strategy.pipeline.latency_fused_middle(
+                nxt, st, _booted = strategy.pipeline.latency_fused_middle(
                     mctx, pre_ct, st_ct, mctx.trivial_bits(rc_np))
                 return BitCt.concat_lanes([nxt.reshape_lanes(16, 8), st],
                                           axis=0)
@@ -529,19 +536,36 @@ def encrypt_block_latency(strategy, ctx, key_arr, block_arr):
             pre_meta = (both[0][:16].reshape(4, 4, 8),
                         both[1][:16].reshape(4, 4, 8))
             st_meta = (both[0][16:], both[1][16:])
-        pre, state = mid_fn(ctx.sks, pre, state, jnp.asarray(rc_np))
+        pre, state, booted = mid_fn(ctx.sks, pre, state, jnp.asarray(rc_np))
+        groups.append(booted)
 
     if track:
         out_meta = _shadow_bitct(
             ctx, lambda mctx, p, s: strategy.pipeline.latency_fused_final(
-                mctx, p, s),
+                mctx, p, s)[0],
             [BitCt(pre, *pre_meta, ctx), BitCt(state, *st_meta, ctx)])
-    out = fin_fn(ctx.sks, pre, state)
+    out, booted10 = fin_fn(ctx.sks, pre, state)
+    groups.append(booted10)
     if batched:
         out = out[None]
+    out_ct = (BitCt(out, *out_meta, ctx) if track
+              else strategy.fresh(out, ctx, lane_ndim=2))
+    if not return_eks:
+        return out_ct
+    # assemble the expanded key the scans computed anyway: group 0 is the
+    # fresh key, groups 1..10 are identity-booted cbs outputs (nominal
+    # noise, fresh components — same metadata key_schedule_staged produces)
+    from tfhe_aes2_tpu.models.shortint_woppbs_1bit import _fresh_ids
+    eks_arr = jnp.concatenate(groups, axis=0)
     if track:
-        return BitCt(out, *out_meta, ctx)
-    return strategy.fresh(out, ctx, lane_ndim=2)
+        eks = BitCt(eks_arr,
+                    np.concatenate([key_ct.noise_sq,
+                                    np.ones((40, 4, 8), np.int64)], axis=0),
+                    np.concatenate([key_ct.comps, _fresh_ids((40, 4, 8))],
+                                   axis=0), ctx)
+    else:
+        eks = strategy.fresh(eks_arr, ctx, lane_ndim=3)
+    return out_ct, eks
 
 
 def _staged_rounds_scan(strategy, params, sks, state_arr, kgs_arr):

@@ -166,7 +166,8 @@ def latency_fused_middle(ctx: FheContext, preboot: BitCt, state: BitCt,
     Serial structure of the reference collapses to 11 scans for key
     expansion + all rounds: device-serial latency ~= 11 x one 288-lane scan
     instead of (11 + 10) scans (VERDICT r4 #6). state lanes [16, 8]
-    (batchless); returns (preboot_{g+1}, state_g)."""
+    (batchless); returns (preboot_{g+1}, state_g, booted_g) — the booted
+    group so the caller can assemble the full expanded key for reuse."""
     flat = preboot.reshape_lanes(int(np.prod(preboot.lane_shape)), 1)
     prev = preboot.slice_lanes(slice(3, 4), axis=0).reshape_lanes(4, 8)
     rot = prev.take_lanes(np.array([1, 2, 3, 0]), axis=0)
@@ -180,18 +181,18 @@ def latency_fused_middle(ctx: FheContext, preboot: BitCt, state: BitCt,
                                                  axis=-1))
                  for i in range(3))
     rk = booted.reshape_lanes(16, 8)
-    return nxt, mix_columns(muls) ^ rk
+    return nxt, mix_columns(muls) ^ rk, booted
 
 
 def latency_fused_final(ctx: FheContext, preboot: BitCt, state: BitCt):
     """Latency-mode last step: [boot of group 10 ‖ final-round SubBytes]
     through one cbs front end, then ShiftRows + the last AddRoundKey.
-    Returns the output state [16, 8]."""
+    Returns (output state [16, 8], booted group 10)."""
     flat = preboot.reshape_lanes(int(np.prod(preboot.lane_shape)), 1)
     booted_flat, subbed = ctx.circuit_bootstrap_mixed(
         [(flat, identity_lut(ctx)), (state, sbox_lut(ctx))])
     rk = booted_flat.reshape_lanes(16, 8)
-    return dm.shift_rows(subbed) ^ rk
+    return dm.shift_rows(subbed) ^ rk, booted_flat.reshape_lanes(4, 4, 8)
 
 
 def key_schedule_group(ctx: FheContext, base: BitCt, prev: BitCt,

@@ -65,11 +65,18 @@ def run_demo(params_name: str = "test", rounds: int = 1,
     its local output shards. Raises on mismatch.
 
     layout:
-      dp    — blocks shard over (host, chip) flattened (pure throughput DP).
-      lane  — blocks shard over 'host' (DCN) and the 16-byte AES axis over
-              'chip' (ICI): each chip runs a fraction of every local block's
-              GGSW bootstraps — the composed throughput x latency mapping
-              (SURVEY §2.4; intra-block collectives stay on ICI).
+      dp       — blocks shard over (host, chip) flattened (pure throughput DP).
+      lane     — blocks shard over 'host' (DCN) and the 16-byte AES axis over
+                 'chip' (ICI): each chip runs a fraction of every local
+                 block's GGSW bootstraps — the composed throughput x latency
+                 mapping (SURVEY §2.4; intra-block collectives stay on ICI).
+      lanehost — the 16-byte AES axis shards over 'host' (blocks over the
+                 local 'chip' axis): with N single-device processes this is
+                 N-way INTRA-BLOCK sharding where every device belongs to a
+                 different OS process / XLA runtime — the standing ≥4-way
+                 production-geometry gate (multichip_gate.py), which the
+                 in-process XLA:CPU multi-virtual-device runtime race
+                 (probes/repro_xla_cpu_multidev.py) cannot touch.
     """
     import jax
     import jax.numpy as jnp
@@ -89,10 +96,15 @@ def run_demo(params_name: str = "test", rounds: int = 1,
     mesh = make_host_chip_mesh()
     n_dev = len(jax.devices())
     n_local_dev = len(jax.local_devices())
+    n_proc = jax.process_count()
     if layout == "lane":
         assert 16 % n_local_dev == 0, \
             f"lane layout needs the {n_local_dev} local chips to divide 16"
-        n_blocks = jax.process_count() * blocks_per_device
+        n_blocks = n_proc * blocks_per_device
+    elif layout == "lanehost":
+        assert 16 % n_proc == 0, \
+            f"lanehost layout needs the {n_proc} processes to divide 16"
+        n_blocks = n_local_dev * blocks_per_device
     else:
         n_blocks = n_dev * blocks_per_device
     pid = jax.process_index()
@@ -110,10 +122,15 @@ def run_demo(params_name: str = "test", rounds: int = 1,
     block_cts = np.asarray(fhe_encryption.encrypt_blocks(client, blocks))
 
     # global arrays: blocks sharded per the layout, rest replicated
-    blocks_spec = (P("host", "chip") if layout == "lane"
-                   else P(("host", "chip")))
-    n_local_blocks = n_blocks // jax.process_count()
-    local = block_cts[pid * n_local_blocks: (pid + 1) * n_local_blocks]
+    blocks_spec = {"lane": P("host", "chip"),
+                   "lanehost": P("chip", "host"),
+                   "dp": P(("host", "chip"))}[layout]
+    if layout == "lanehost":
+        bytes_per_proc = 16 // n_proc
+        local = block_cts[:, pid * bytes_per_proc:(pid + 1) * bytes_per_proc]
+    else:
+        n_local_blocks = n_blocks // n_proc
+        local = block_cts[pid * n_local_blocks: (pid + 1) * n_local_blocks]
     blocks_global = multihost_utils.host_local_array_to_global_array(
         local, mesh, blocks_spec)
     ks_global = multihost_utils.host_local_array_to_global_array(
@@ -133,9 +150,11 @@ def run_demo(params_name: str = "test", rounds: int = 1,
     out = fn(sks_global, ks_global, blocks_global)
     out.block_until_ready()
 
-    # verify the local shards only (no cross-host gather needed); lane-layout
-    # shards cover a byte SLICE of each block, so compare at byte granularity
+    # verify the local shards only (no cross-host gather needed); lane/
+    # lanehost shards cover a byte SLICE of each block, so compare at byte
+    # granularity
     expect = plain.expand_key_and_encrypt_blocks(key, blocks, rounds)
+    n_shards = 0
     for shard in out.addressable_shards:
         b0 = shard.index[0].start or 0
         c0 = shard.index[1].start or 0
@@ -147,9 +166,11 @@ def run_demo(params_name: str = "test", rounds: int = 1,
                 c0: c0 + got.shape[1]]
             assert (got[i] == want).all(), \
                 f"process {pid} shard @({b0 + i},{c0}) mismatch"
-    print(f"ok: process {pid} verified {n_local_blocks} local blocks over "
-          f"{jax.process_count()} hosts x {len(jax.local_devices())} chips "
-          f"(layout={layout})", flush=True)
+        n_shards += 1
+    print(f"ok: process {pid} verified {n_shards} local shards over "
+          f"{n_proc} hosts x {len(jax.local_devices())} chips "
+          f"(layout={layout}, params={params_name}, rounds={rounds})",
+          flush=True)
 
 
 def main(argv=None) -> int:
@@ -163,7 +184,7 @@ def main(argv=None) -> int:
     ap.add_argument("--blocks-per-device", type=int, default=1)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--layout", type=str, default="dp",
-                    choices=["dp", "lane"])
+                    choices=["dp", "lane", "lanehost"])
     args = ap.parse_args(argv)
 
     initialize(args.coordinator, args.num_processes, args.process_id)

@@ -87,19 +87,40 @@ def _handle(ctx, strategy, meta, arrays, eks_cache):
     from tfhe_aes2_tpu.aes_128 import ctr_fhe, fhe as fhe_mod
     from tfhe_aes2_tpu.ops import compression
 
+    import hashlib
+
     rounds = int(meta.get("rounds", 10))
     log2q = int(meta.get("compress", 16))
     count = int(meta.get("fhe_counter_count", 0))
 
-    eks = _expanded_key(ctx, strategy, arrays["key_ct"], eks_cache)
     blocks_arr = jnp.asarray(arrays["block_cts"])
-    blocks_meta = None
-    if count:
-        block0 = blocks_arr[0] if blocks_arr.ndim == 4 else blocks_arr
-        blocks_arr = ctr_fhe.derive_ctr_blocks_staged(ctx, block0, count)
-        blocks_meta = ctr_fhe.derived_blocks_meta(ctx, block0, count)
-    out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_arr,
-                                        rounds, blocks_meta=blocks_meta)
+    single = (blocks_arr.ndim == 3
+              or (blocks_arr.ndim == 4 and blocks_arr.shape[0] == 1))
+    digest = hashlib.sha256(
+        np.ascontiguousarray(arrays["key_ct"]).tobytes()).hexdigest()
+    if (single and not count and rounds == 10 and digest not in eks_cache
+            and hasattr(fhe_mod, "encrypt_block_latency")):
+        # fresh key + one block: the fused-scan latency path runs key
+        # expansion AND the rounds in 11 shared blind rotations (~1.3x
+        # faster end to end than expand-then-rounds) and yields the
+        # expanded key as a byproduct, cached for follow-up requests
+        print(f"[serve] expanding key {digest[:12]} (cache miss, "
+              "fused latency path)", file=sys.stderr, flush=True)
+        out, eks = fhe_mod.encrypt_block_latency(
+            strategy, ctx, jnp.asarray(arrays["key_ct"]), blocks_arr,
+            return_eks=True)
+        eks_cache[digest] = eks
+        while len(eks_cache) > _EKS_CACHE_MAX:
+            eks_cache.pop(next(iter(eks_cache)))
+    else:
+        eks = _expanded_key(ctx, strategy, arrays["key_ct"], eks_cache)
+        blocks_meta = None
+        if count:
+            block0 = blocks_arr[0] if blocks_arr.ndim == 4 else blocks_arr
+            blocks_arr = ctr_fhe.derive_ctr_blocks_staged(ctx, block0, count)
+            blocks_meta = ctr_fhe.derived_blocks_meta(ctx, block0, count)
+        out = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blocks_arr,
+                                            rounds, blocks_meta=blocks_meta)
     if log2q:
         # dispatch through the context kernel cache so the AOT-warmed
         # compress program is used when present (ADVICE r4) and other
@@ -151,7 +172,7 @@ def serve(keys_path: str, address: str, one_shot: bool = False,
             from tfhe_aes2_tpu import aot
             handle = aot.warmup_staged(
                 strategy, params, int(_os.environ.get("TFHE_SERVE_BLOCKS",
-                                                      "16")))
+                                                      "16")), latency=True)
         sks_dev = jax.tree_util.tree_map(jnp.asarray, sks)
         if jax.default_backend() != "cpu":
             sks_dev = keys_mod.prepare_server_keys(sks_dev, params)
