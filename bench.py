@@ -87,6 +87,7 @@ def main() -> int:
     # alone (tfhe_aes2_tpu/aot.py; VERDICT r3 #1). BENCH_AOT=0 disables.
     handle = None
     handle1 = None
+    handle10 = None
     if os.environ.get("BENCH_AOT", "1") != "0":
         from tfhe_aes2_tpu import aot
         t0 = time.time()
@@ -95,11 +96,14 @@ def main() -> int:
         if os.environ.get("BENCH_LATENCY", "1") != "0" and rounds == 10 \
                 and n_blocks != 1:
             # the 1-block latency programs (incl. the fused-scan latency
-            # path), without re-warming the (batch-independent)
-            # key-schedule halves
+            # path) and the exact 10-block scenario batch, without
+            # re-warming the (batch-independent) key-schedule halves
             handle1 = aot.warmup_staged(strategy, params, 1, rounds,
                                         compress, ks_programs=False,
                                         latency=True)
+            if n_blocks != 10:
+                handle10 = aot.warmup_staged(strategy, params, 10, rounds,
+                                             compress, ks_programs=False)
         print(f"[bench] aot warmup launched ({time.time()-t0:.1f}s)",
               file=sys.stderr)
 
@@ -124,6 +128,8 @@ def main() -> int:
         handle.attach(ctx)
     if handle1 is not None:
         handle1.attach(ctx)
+    if handle10 is not None:
+        handle10.attach(ctx)
 
     # key expansion (timed separately — main.rs:130-139)
     t0 = time.time()
@@ -243,17 +249,34 @@ def main() -> int:
         print(f"[bench] 1-block latency (fused scans) {t_lat:.2f}s",
               file=sys.stderr)
 
-        # the reference's canonical 10-output scenario (README.md:6):
-        # key expansion + 10 CTR outputs via ceil(10/batch) batched runs
-        n_runs = -(-10 // n_blocks)
-        t_sc = t_exp_steady
-        for _ in range(n_runs):
+        # the reference's canonical 10-output scenario (README.md:6): key
+        # expansion + 10 CTR outputs, as an EXACT 10-block batch — what the
+        # CLI actually dispatches for --number-of-outputs 10 (a padded
+        # 16-block run overstates it by ~30%)
+        blk10_clear = ctr_blocks(iv, 10)
+        blk10 = jnp.asarray(fhe_encryption.encrypt_blocks(client,
+                                                          blk10_clear))
+        compress10 = (handle10.compress_fn()
+                      if handle10 is not None else None) \
+            or (compress and compress_fn)
+        for attempt in range(2):   # first run pays the 10-block compile
             t0 = time.time()
-            run_once()
-            t_sc += time.time() - t0
+            out10 = fhe_mod.encrypt_blocks_staged(strategy, ctx, eks, blk10,
+                                                  rounds)
+            out10 = (np.asarray(compress10(out10.array, ctx.sks))
+                     if compress else np.asarray(out10.array))
+            t_10 = time.time() - t0
+        got10 = (compression.decrypt_blocks_compressed(client, out10,
+                                                       compress)
+                 if compress else fhe_encryption.decrypt_blocks(client,
+                                                                out10))
+        assert got10 == aes_lib.encrypt_blocks(key, blk10_clear), \
+            "10-block verify"
+        t_sc = t_exp_steady + t_10
         latency["scenario_10_outputs_s"] = round(t_sc, 3)
         print(f"[bench] 10-output scenario {t_sc:.2f}s "
-              f"({n_runs} x {n_blocks}-block batches)", file=sys.stderr)
+              f"(expand {t_exp_steady:.2f} + one 10-block batch {t_10:.2f})",
+              file=sys.stderr)
 
     # refresh the LOCAL serialized-executable artifacts (aot_cache/ —
     # uncommitted, gitignored; VERDICT r4 #7). Default "auto": dump only when
@@ -264,7 +287,7 @@ def main() -> int:
     if handle is not None and dump_mode != "0":
         from tfhe_aes2_tpu import aot
         try:
-            for h in (handle, handle1):
+            for h in (handle, handle1, handle10):
                 if h is not None and (dump_mode == "1" or h.compiled_fresh):
                     aot.dump(h)
         except Exception as e:  # noqa: BLE001 — never fail the bench on dump

@@ -20,6 +20,8 @@ These tests make a typo in any transcribed constant fail the suite:
 Keygen runs once per set per session (the LazyLock KEYS_* pattern).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -99,6 +101,17 @@ def test_sbox_noise_floor(name):
 
 
 @pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("TFHE_LVL256_AES") != "1",
+                    reason="production-geometry lvl256 AES: hours of f64 "
+                           "CMux GEMMs on a 4-core CPU (measured >100 "
+                           "CPU-min without finishing 2 rounds). The "
+                           "lvl256 SET is executed by the default suite "
+                           "(test_sbox_noise_floor[lvl256] + encode/XOR); "
+                           "the depth-11 sbox_pbs pairing runs at test "
+                           "geometry (test_aes_fhe.py::"
+                           "test_light_sbox_pbs_pipeline_a). Set "
+                           "TFHE_LVL256_AES=1 (ideally on TPU) for the "
+                           "full-geometry pairing.")
 def test_light_aes_lvl256_sbox_pbs():
     """Light AES (2 rounds, clear key schedule) with pipeline A's leveled
     Galois multiplication (XOR depth 11) under the sqrd_lvl_256 budget — the
