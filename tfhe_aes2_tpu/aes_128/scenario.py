@@ -66,6 +66,30 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
         client, blocks_clear[:1] if fhe_counter else blocks_clear)
     log.info("aes key and blocks fhe encrypted")
 
+    # Single fresh-key output: the fused-scan latency path runs key
+    # expansion AND all rounds in 11 shared blind rotations — ~1.4x lower
+    # end-to-end latency than expand-then-rounds (PERF.md r5; the reference
+    # necessarily serializes the two, main.rs:119-120)
+    if (block_count == 1 and rounds == 10 and not fhe_counter
+            and isinstance(ctx, FheContext)
+            and hasattr(strategy.pipeline, "latency_fused_middle")):
+        t0 = time.time()
+        out = fhe_mod.encrypt_block_latency(strategy, ctx,
+                                            jnp.asarray(key_ct),
+                                            jnp.asarray(block_cts))
+        out.array.block_until_ready()
+        t_blocks = time.time() - t0
+        out = out.array
+        print(f"AES key expansion + #1 output computed in: {t_blocks:.3f}s "
+              "(fused latency path)")
+        return _verify_and_return(client, ctx, strategy, out, key_clear,
+                                  blocks_clear, rounds, compress_log2q,
+                                  verify,
+                                  {"key_expansion_s": 0.0,
+                                   "blocks_s": t_blocks,
+                                   "blocks_per_s": 1.0 / t_blocks,
+                                   "ctr_derive_s": 0.0})
+
     # Server side: key expansion (timed separately, main.rs:130-139)
     t0 = time.time()
     eks = fhe_mod.key_schedule_staged(strategy, ctx, jnp.asarray(key_ct))
@@ -101,7 +125,18 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
     print(f"AES of #{block_count} outputs computed in: {t_blocks:.3f}s "
           f"({block_count / t_blocks:.4f} blocks/s)")
 
-    # Client side: decrypt and verify against the independent AES authority
+    return _verify_and_return(client, ctx, strategy, out, key_clear,
+                              blocks_clear, rounds, compress_log2q, verify,
+                              {"key_expansion_s": t_expand,
+                               "blocks_s": t_blocks,
+                               "blocks_per_s": block_count / t_blocks,
+                               "ctr_derive_s": t_derive})
+
+
+def _verify_and_return(client, ctx, strategy, out, key_clear, blocks_clear,
+                       rounds, compress_log2q, verify, timings):
+    """Client side: (optionally compressed) decrypt + verification against
+    the independent AES authority / partial-round plain oracle."""
     if compress_log2q is not None:
         from tfhe_aes2_tpu.ops import compression
         comp = jax.jit(compression.compress_bits,
@@ -127,6 +162,4 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
                 key_clear, blocks_clear, rounds)
             oracle = f"plain {rounds}-round oracle"
         assert decrypted == expect, f"FHE AES output mismatch vs {oracle}"
-    return decrypted, {"key_expansion_s": t_expand, "blocks_s": t_blocks,
-                       "blocks_per_s": block_count / t_blocks,
-                       "ctr_derive_s": t_derive}
+    return decrypted, timings
