@@ -147,7 +147,23 @@ def run_demo(params_name: str = "test", rounds: int = 1,
         in_shardings=(None, NamedSharding(mesh, P()),
                       NamedSharding(mesh, blocks_spec)),
         out_shardings=NamedSharding(mesh, blocks_spec))
-    out = fn(sks_global, ks_global, blocks_global)
+    # compile explicitly, then meet at a COORDINATION-SERVICE barrier before
+    # the first collective executes: XLA:CPU's gloo context rendezvous has a
+    # hard 30s key-value timeout, while per-process compile of the
+    # production program skews by MINUTES when N processes oversubscribe the
+    # host's cores (observed at 8 procs on 4 cores: "Gloo context
+    # initialization failed: GetKeyValue() timed out"). The coordination
+    # barrier has no such limit, so all processes enter gloo together.
+    compiled = fn.lower(sks_global, ks_global, blocks_global).compile()
+    if jax.process_count() > 1:
+        try:
+            from jax._src import distributed as _jdist
+            _jdist.global_state.client.wait_at_barrier(
+                "tfhe_compiled", timeout_in_ms=3_600_000)
+        except Exception as e:  # noqa: BLE001 — barrier is best-effort
+            print(f"[distributed] compile barrier unavailable: {e}",
+                  flush=True)
+    out = compiled(sks_global, ks_global, blocks_global)
     out.block_until_ready()
 
     # verify the local shards only (no cross-host gather needed); lane/
