@@ -19,7 +19,7 @@ bit-exact in isolation and 1-/2-device and TPU runs are correct —
 minimized repro + elimination ladder: probes/repro_xla_cpu_multidev.py).
 --in-process restores the old single-process mode for comparison.
 
-Usage:  python multichip_gate.py [--devices 4] [--out MULTICHIP_PROD.json]
+Usage:  python multichip_gate.py [--devices 8] [--out MULTICHIP_PROD.json]
 Wall: tens of minutes of f64 CMux GEMMs on a 4-core host.
 """
 
@@ -114,7 +114,7 @@ def run_in_process(n: int):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--devices", type=int, default=4)
+    ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--timeout", type=float, default=7200.0)
     ap.add_argument("--in-process", action="store_true")
