@@ -286,12 +286,14 @@ def main() -> int:
     dump_mode = os.environ.get("BENCH_AOT_DUMP", "auto")
     if handle is not None and dump_mode != "0":
         from tfhe_aes2_tpu import aot
-        try:
-            for h in (handle, handle1, handle10):
-                if h is not None and (dump_mode == "1" or h.compiled_fresh):
-                    aot.dump(h)
-        except Exception as e:  # noqa: BLE001 — never fail the bench on dump
-            print(f"[bench] aot dump skipped: {e}", file=sys.stderr)
+        for h in (handle, handle1, handle10):
+            if h is None or not (dump_mode == "1" or h.compiled_fresh):
+                continue
+            try:   # per-handle: one failure must not skip the others
+                aot.dump(h, only=None if dump_mode == "1"
+                         else h.compiled_fresh)
+            except Exception as e:  # noqa: BLE001 — never fail the bench
+                print(f"[bench] aot dump skipped: {e}", file=sys.stderr)
 
     # ---- per-stage dissection + audit constants (VERDICT r3 #8) --------
     stages = {}

@@ -67,8 +67,10 @@ def run_multiprocess(n: int, rounds: int, timeout: float):
                               stderr=subprocess.STDOUT, text=True, env=env)
              for pid in range(n)]
     timed_out = False
+    deadline = time.time() + timeout   # one shared wall budget, not N x
     try:
-        outs = [p.communicate(timeout=timeout)[0] for p in procs]
+        outs = [p.communicate(timeout=max(1.0, deadline - time.time()))[0]
+                for p in procs]
     except subprocess.TimeoutExpired:
         timed_out = True
         for p in procs:          # kill the exact child PIDs (never pkill)
@@ -141,7 +143,7 @@ def main(argv=None) -> int:
         "n_devices": args.devices,
         "processes": 1 if args.in_process else args.devices,
         "lane_shards": lane_shards,
-        "blocks": 1,
+        "blocks": (args.devices // lane_shards if args.in_process else 1),
         "rounds": args.rounds,
         "executed": True,
         "decrypt_verified": ok,

@@ -82,12 +82,16 @@ def run_client_server_aes_scenario(client: ClientKey, ctx: FheContext,
         out = out.array
         print(f"AES key expansion + #1 output computed in: {t_blocks:.3f}s "
               "(fused latency path)")
+        # the fused path has no expansion/rounds split — report it under its
+        # own key; key_expansion_s/blocks_per_s stay None rather than
+        # acquiring a different meaning than the batch path's fields
         return _verify_and_return(client, ctx, strategy, out, key_clear,
                                   blocks_clear, rounds, compress_log2q,
                                   verify,
-                                  {"key_expansion_s": 0.0,
+                                  {"fused_latency_s": t_blocks,
+                                   "key_expansion_s": None,
                                    "blocks_s": t_blocks,
-                                   "blocks_per_s": 1.0 / t_blocks,
+                                   "blocks_per_s": None,
                                    "ctr_derive_s": 0.0})
 
     # Server side: key expansion (timed separately, main.rs:130-139)

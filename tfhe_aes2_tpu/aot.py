@@ -37,7 +37,7 @@ Usage (bench.py / serve.py):
     ctx = FheContext(params=params, sks=sks_dev)
     handle.attach(ctx)
     ... key_schedule_staged / encrypt_blocks_staged as usual ...
-    aot.dump(handle)        # optional: refresh the committed artifacts
+    aot.dump(handle)        # optional: refresh the local artifact store
 """
 
 from __future__ import annotations
@@ -332,15 +332,21 @@ def warmup_staged(strategy, params, n_blocks: int, rounds: int = 10,
     return handle
 
 
-def dump(handle: WarmupHandle, artifact_dir: str | None = None) -> None:
-    """Serialize every warmed program + manifest into the artifact dir
-    (commit the dir to ship instant warm starts to fresh checkouts)."""
+def dump(handle: WarmupHandle, artifact_dir: str | None = None,
+         only=None) -> None:
+    """Serialize warmed programs + manifests into the LOCAL artifact dir
+    (gitignored; later processes on this machine then skip trace+compile).
+    only: iterable of cache keys to dump — pass handle.compiled_fresh to
+    refresh just the programs that had no valid artifact instead of
+    re-serializing hundreds of MB of unchanged ones."""
     from jax.experimental import serialize_executable as se
 
     artifact_dir = artifact_dir or handle.artifact_dir
     os.makedirs(artifact_dir, exist_ok=True)
     manifest = {**_runtime_fingerprint(), "env": _env_fingerprint()}
     for key, pending in handle.entries.items():
+        if only is not None and key not in only:
+            continue
         name = _slug(key)
         compiled = pending.future.result()
         payload, in_tree, out_tree = se.serialize(compiled)

@@ -81,10 +81,13 @@ def main(argv=None) -> int:
         from tfhe_aes2_tpu.models import shortint_woppbs_1bit as model
         pset = param_choices()[args.params]
         strategy = fhe_mod.ShortintWoppbs1BitSboxGalMulPbsAesEncrypt
-        # AOT warm-up BEFORE keygen: programs load from the committed
-        # aot_cache (or compile on background threads) concurrently with key
-        # generation/transfer, and the tunneled device's per-process
-        # execute-channel constant is absorbed early (tfhe_aes2_tpu/aot.py).
+        # AOT warm-up BEFORE keygen: programs load from the local artifact
+        # store (aot_cache/, auto-refreshed by bench.py) or compile on
+        # background threads, concurrently with key generation/transfer, and
+        # the tunneled device's per-process execute-channel constant is
+        # absorbed early (tfhe_aes2_tpu/aot.py). A single-output full-rounds
+        # run takes the fused latency path (scenario.py), so warm its
+        # programs instead of the unused 1-block round programs.
         handle = None
         import os as _os
         aot_env = _os.environ.get("TFHE_AOT", "")
@@ -94,7 +97,10 @@ def main(argv=None) -> int:
             from tfhe_aes2_tpu import aot
             handle = aot.warmup_staged(strategy, pset,
                                        args.number_of_outputs, args.rounds,
-                                       args.compress_output or 0)
+                                       args.compress_output or 0,
+                                       latency=(args.number_of_outputs == 1
+                                                and args.rounds == 10
+                                                and not args.fhe_counter))
         print(f"generating keys ({args.params})...")
         client, ctx = model.generate_keys(pset, seed=args.seed)
         if handle is not None:

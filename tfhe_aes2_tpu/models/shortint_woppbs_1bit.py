@@ -87,13 +87,11 @@ class FheContext:
         arr = lwe_ops.trivial_bits(jnp.asarray(np.asarray(bits)),
                                    self.params.big_lwe_dimension)
         shape = np.asarray(bits).shape
-        # degree = the literal bit where it is statically known (the
-        # reference's trivial path sets Degree::new(value))
-        degree = (np.asarray(bits).astype(np.int64)
-                  if not isinstance(bits, jax.core.Tracer)
-                  else np.ones(shape, np.int64))
+        # degree = the literal bit (the reference's trivial path sets
+        # Degree::new(value)); `bits` is always concrete here — np.asarray
+        # above would reject a tracer before this line
         return BitCt(arr, np.zeros(shape, np.int64), _empty_ids(shape), self,
-                     degree)
+                     np.asarray(bits).astype(np.int64))
 
     def generate_lookup_table(self, input_bits: int, output_bits: int,
                               f: Callable[[int], int]) -> np.ndarray:
